@@ -1,0 +1,198 @@
+"""StaticScene: the per-town constants pytree consumed by the jitted sim.
+
+The reference splits static world knowledge between the CARLA server (map,
+waypoints), pre-rendered H5 masks (``chauffeurnet.py:72-85``), and per-reset
+route traces (``task_vehicle.py:42-48``). Here it is all compiled once on
+host into padded, static-shape jnp arrays; every env step is then pure
+device math. One StaticScene serves all vmapped envs (it is closed over, not
+batched).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from gail_carla_tpu.scene import raster as raster_mod
+from gail_carla_tpu.scene import trace as trace_mod
+from gail_carla_tpu.scene.routes import RouteDef, generate_routes
+from gail_carla_tpu.scene.town import LaneGraph, make_grid_town
+from gail_carla_tpu.sim.transforms import location_to_gps
+
+
+def _pad_to(n: int, mult: int) -> int:
+    return ((max(n, 1) + mult - 1) // mult) * mult
+
+
+@struct.dataclass
+class StaticScene:
+    # --- dense routes (1 m resolution), padded to route_pts ---
+    route_xy: jnp.ndarray      # (R, L, 2) f32
+    route_yaw: jnp.ndarray     # (R, L) f32
+    route_cmd: jnp.ndarray     # (R, L) i32 RoadOption
+    route_s: jnp.ndarray       # (R, L) f32 cumulative metres (pad: last value)
+    route_n: jnp.ndarray       # (R,) i32 valid point count
+    route_len_m: jnp.ndarray   # (R,) f32
+
+    # --- downsampled leaderboard plan (task_vehicle.py:60-65) ---
+    plan_gps: jnp.ndarray      # (R, P, 2) f32 lat/lon
+    plan_xy: jnp.ndarray       # (R, P, 2) f32
+    plan_cmd: jnp.ndarray      # (R, P) i32
+    plan_n: jnp.ndarray        # (R,) i32
+
+    # --- map textures (chauffeurnet.py:72-85 equivalents) ---
+    road_tex: jnp.ndarray      # (H, W) u8
+    lane_tex: jnp.ndarray      # (H, W) u8 (255 solid, 120 broken)
+    route_s_tex: jnp.ndarray   # (R, H, W) u16, s/0.25m + 1, 0 = empty
+    world_offset: jnp.ndarray  # (2,) f32
+
+    # --- signal fixtures ---
+    tl_stop: jnp.ndarray       # (T, 2, 2) f32 stop-line endpoints
+    tl_yaw: jnp.ndarray        # (T,) f32
+    tl_junction: jnp.ndarray   # (T,) i32
+    tl_group: jnp.ndarray      # (T,) i32 phase group within junction
+    ppm: float = struct.field(pytree_node=False, default=5.0)
+    tl_n: int = struct.field(pytree_node=False, default=0)
+    ss_center: jnp.ndarray = None   # (S, 2) f32 stop signs
+    ss_yaw: jnp.ndarray = None      # (S,) f32
+    ss_extent: jnp.ndarray = None   # (S, 2) f32
+    ss_n: int = struct.field(pytree_node=False, default=0)
+
+    # --- spawn points for traffic ---
+    spawn: jnp.ndarray = None       # (Q, 3) f32 x, y, yaw
+
+    @property
+    def n_routes(self) -> int:
+        return self.route_xy.shape[0]
+
+
+def build_scene(
+    graph: LaneGraph,
+    route_defs: Sequence[RouteDef],
+    ppm: float = raster_mod.PIXELS_PER_METER,
+    route_pts_pad: int = 256,
+    plan_pts_pad: int = 32,
+) -> StaticScene:
+    town_raster = raster_mod.rasterize_town(graph, ppm=ppm)
+    dense = [trace_mod.trace_route(graph, r.waypoints) for r in route_defs]
+
+    R = len(dense)
+    L = _pad_to(max(len(d.xy) for d in dense), route_pts_pad)
+    P = _pad_to(max(len(d.plan_xy) for d in dense), plan_pts_pad)
+
+    route_xy = np.zeros((R, L, 2), np.float32)
+    route_yaw = np.zeros((R, L), np.float32)
+    route_cmd = np.full((R, L), 4, np.int32)
+    route_s = np.zeros((R, L), np.float32)
+    route_n = np.zeros((R,), np.int32)
+    route_len = np.zeros((R,), np.float32)
+    plan_xy = np.zeros((R, P, 2), np.float32)
+    plan_cmd = np.full((R, P), 4, np.int32)
+    plan_n = np.zeros((R,), np.int32)
+    s_tex = np.zeros((R,) + town_raster.road.shape, np.uint16)
+
+    for r, d in enumerate(dense):
+        n = len(d.xy)
+        route_xy[r, :n] = d.xy
+        route_xy[r, n:] = d.xy[-1]
+        route_yaw[r, :n] = d.yaw
+        route_yaw[r, n:] = d.yaw[-1]
+        route_cmd[r, :n] = d.cmd
+        route_cmd[r, n:] = d.cmd[-1]
+        route_s[r, :n] = d.s
+        route_s[r, n:] = d.s[-1]
+        route_n[r] = n
+        route_len[r] = d.length_m
+        p = len(d.plan_xy)
+        plan_xy[r, :p] = d.plan_xy
+        plan_xy[r, p:] = d.plan_xy[-1]
+        plan_cmd[r, :p] = d.plan_cmd
+        plan_cmd[r, p:] = d.plan_cmd[-1]
+        plan_n[r] = p
+        s_tex[r] = raster_mod.rasterize_route_arclength(
+            town_raster, d.xy, d.s
+        )
+
+    plan_gps = np.asarray(
+        location_to_gps(jnp.asarray(plan_xy.reshape(-1, 2)))
+    ).reshape(R, P, 2)
+
+    tls = graph.traffic_lights
+    sss = graph.stop_signs
+    T = max(len(tls), 1)
+    S = max(len(sss), 1)
+    tl_stop = np.zeros((T, 2, 2), np.float32)
+    tl_yaw = np.zeros((T,), np.float32)
+    tl_junction = np.zeros((T,), np.int32)
+    tl_group = np.zeros((T,), np.int32)
+    for i, t in enumerate(tls):
+        tl_stop[i, 0] = t.stop_a
+        tl_stop[i, 1] = t.stop_b
+        tl_yaw[i] = t.yaw
+        tl_junction[i] = t.junction
+        tl_group[i] = t.group
+    ss_center = np.zeros((S, 2), np.float32)
+    ss_yaw = np.zeros((S,), np.float32)
+    ss_extent = np.ones((S, 2), np.float32)
+    for i, s in enumerate(sss):
+        ss_center[i] = s.center
+        ss_yaw[i] = s.yaw
+        ss_extent[i] = s.extent
+
+    spawn = graph.spawn_points().astype(np.float32)
+    if len(spawn) == 0:
+        spawn = np.zeros((1, 3), np.float32)
+
+    return StaticScene(
+        route_xy=jnp.asarray(route_xy),
+        route_yaw=jnp.asarray(route_yaw),
+        route_cmd=jnp.asarray(route_cmd),
+        route_s=jnp.asarray(route_s),
+        route_n=jnp.asarray(route_n),
+        route_len_m=jnp.asarray(route_len),
+        plan_gps=jnp.asarray(plan_gps.astype(np.float32)),
+        plan_xy=jnp.asarray(plan_xy),
+        plan_cmd=jnp.asarray(plan_cmd),
+        plan_n=jnp.asarray(plan_n),
+        road_tex=jnp.asarray(town_raster.road),
+        lane_tex=jnp.asarray(town_raster.lane),
+        route_s_tex=jnp.asarray(s_tex),
+        world_offset=jnp.asarray(town_raster.world_offset),
+        ppm=float(ppm),
+        tl_stop=jnp.asarray(tl_stop),
+        tl_yaw=jnp.asarray(tl_yaw),
+        tl_junction=jnp.asarray(tl_junction),
+        tl_group=jnp.asarray(tl_group),
+        tl_n=len(tls),
+        ss_center=jnp.asarray(ss_center),
+        ss_yaw=jnp.asarray(ss_yaw),
+        ss_extent=jnp.asarray(ss_extent),
+        ss_n=len(sss),
+        spawn=jnp.asarray(spawn),
+    )
+
+
+_SCENE_CACHE = {}
+
+
+def make_benchmark_scene(
+    n_routes: int = 10,
+    nx: int = 4,
+    ny: int = 4,
+    block: float = 100.0,
+    seed: int = 2021,
+    min_length: float = 400.0,
+) -> StaticScene:
+    """The framework's stand-in for Town01 + routes_training.xml routes 0-9
+    (``params_variable.json:10-13``): a deterministic grid town with
+    ``n_routes`` generated routes. Cached per arg tuple."""
+    key = (n_routes, nx, ny, block, seed, min_length)
+    if key not in _SCENE_CACHE:
+        graph = make_grid_town(nx=nx, ny=ny, block=block, seed=seed)
+        routes = generate_routes(
+            graph, n_routes=n_routes, min_length=min_length, seed=seed
+        )
+        _SCENE_CACHE[key] = build_scene(graph, routes)
+    return _SCENE_CACHE[key]

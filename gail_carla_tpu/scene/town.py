@@ -1,0 +1,344 @@
+"""Host-side town model: a directed lane graph plus signal fixtures.
+
+This is the TPU framework's replacement for the CARLA server's OpenDRIVE map
+(waypoint queries, road topology — reference reaches it via
+``world.get_map()``; the route graph is rebuilt from it in
+``carla_gym/core/task_actor/common/navigation/global_route_planner.py:31-88``).
+Everything here is offline/host-side numpy; the output is compiled into
+padded jnp arrays by ``scene.scene.build_scene``.
+
+Conventions: CARLA-style left-handed world viewed from above (x east,
+y south), yaw in radians increasing clockwise (a RIGHT turn increases yaw).
+Right-hand traffic: a lane is offset to the right of its driving direction.
+"""
+from __future__ import annotations
+
+import dataclasses
+import heapq
+import math
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from gail_carla_tpu.scene.road_option import RoadOption
+
+LANE_WIDTH = 3.5  # m, matches typical CARLA town lanes
+
+
+@dataclasses.dataclass
+class LaneEdge:
+    """A directed lane segment: polyline sampled at ~1 m."""
+
+    src: int
+    dst: int
+    pts: np.ndarray            # (M, 2) float64, includes both endpoints
+    option: RoadOption         # command while traversing this edge
+    is_junction: bool
+
+    @property
+    def length(self) -> float:
+        return float(
+            np.sum(np.linalg.norm(np.diff(self.pts, axis=0), axis=1))
+        )
+
+
+@dataclasses.dataclass
+class TrafficLightFixture:
+    """One signal head controlling one junction entry.
+
+    Counterpart of the static registry the reference builds per map
+    (``carla_gym/utils/traffic_light.py:79-111``): a stop line (segment the
+    vehicle must not cross on red) plus a junction id used for phase groups.
+    """
+
+    stop_a: np.ndarray      # (2,) stop-line endpoint
+    stop_b: np.ndarray      # (2,)
+    yaw: float              # heading of traffic passing the line
+    junction: int           # junction index (lights in a junction share a controller)
+    group: int              # 0 = NS axis, 1 = EW axis (phase alternation)
+
+
+@dataclasses.dataclass
+class StopSignFixture:
+    """Stop-sign trigger volume (reference ``criteria/run_stop_sign.py``)."""
+
+    center: np.ndarray      # (2,)
+    yaw: float
+    extent: np.ndarray      # (2,) half sizes
+
+
+@dataclasses.dataclass
+class LaneGraph:
+    nodes: np.ndarray                      # (N, 2)
+    edges: List[LaneEdge]
+    adjacency: Dict[int, List[int]]        # node -> outgoing edge indices
+    traffic_lights: List[TrafficLightFixture]
+    stop_signs: List[StopSignFixture]
+    lane_width: float = LANE_WIDTH
+
+    def spawn_points(self, spacing: float = 30.0) -> np.ndarray:
+        """(Q, 3) array of (x, y, yaw) on non-junction lanes, for traffic
+        spawning (reference samples ``map.get_spawn_points()``,
+        ``zombie_vehicle_handler.py:30-40``)."""
+        out = []
+        for e in self.edges:
+            if e.is_junction:
+                continue
+            d = np.linalg.norm(np.diff(e.pts, axis=0), axis=1)
+            s = np.concatenate([[0.0], np.cumsum(d)])
+            for target in np.arange(spacing * 0.5, s[-1], spacing):
+                i = int(np.searchsorted(s, target))
+                i = min(max(i, 1), len(e.pts) - 1)
+                p = e.pts[i]
+                v = e.pts[i] - e.pts[i - 1]
+                out.append([p[0], p[1], math.atan2(v[1], v[0])])
+        return np.array(out, dtype=np.float64).reshape(-1, 3)
+
+
+def _sample_line(a: np.ndarray, b: np.ndarray, step: float = 1.0) -> np.ndarray:
+    n = max(int(math.ceil(np.linalg.norm(b - a) / step)), 1)
+    t = np.linspace(0.0, 1.0, n + 1)[:, None]
+    return a[None, :] * (1 - t) + b[None, :] * t
+
+
+def _sample_arc(
+    p0: np.ndarray, yaw0: float, p1: np.ndarray, yaw1: float, step: float = 1.0
+) -> np.ndarray:
+    """Cubic Hermite blend between two posed endpoints, sampled at ~step m.
+
+    Used for junction connectors (the reference gets these as OpenDRIVE
+    junction waypoint paths; we synthesize smooth ones)."""
+    dist = np.linalg.norm(p1 - p0)
+    scale = max(dist, 1e-3)
+    m0 = np.array([math.cos(yaw0), math.sin(yaw0)]) * scale
+    m1 = np.array([math.cos(yaw1), math.sin(yaw1)]) * scale
+    n = max(int(math.ceil(dist * 1.6 / step)), 2)
+    t = np.linspace(0.0, 1.0, n + 1)[:, None]
+    h00 = 2 * t**3 - 3 * t**2 + 1
+    h10 = t**3 - 2 * t**2 + t
+    h01 = -2 * t**3 + 3 * t**2
+    h11 = t**3 - t**2
+    pts = h00 * p0 + h10 * m0 + h01 * p1 + h11 * m1
+    # Resample to ~uniform arc length.
+    d = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(d)])
+    total = s[-1]
+    m = max(int(round(total / step)), 2)
+    s_new = np.linspace(0.0, total, m + 1)
+    out = np.stack(
+        [np.interp(s_new, s, pts[:, 0]), np.interp(s_new, s, pts[:, 1])], axis=1
+    )
+    return out
+
+
+def _turn_option(yaw_in: float, yaw_out: float) -> RoadOption:
+    d = (yaw_out - yaw_in + math.pi) % (2 * math.pi) - math.pi
+    if d > 0.35:
+        return RoadOption.RIGHT
+    if d < -0.35:
+        return RoadOption.LEFT
+    return RoadOption.STRAIGHT
+
+
+def make_grid_town(
+    nx: int = 4,
+    ny: int = 4,
+    block: float = 100.0,
+    lane_width: float = LANE_WIDTH,
+    junction_margin: float = 8.0,
+    signal_period: int = 2,
+    seed: int = 0,
+) -> LaneGraph:
+    """Procedural Manhattan-grid town: ``nx`` x ``ny`` intersections spaced
+    ``block`` metres apart, two-lane roads (one lane per direction), junction
+    connectors for straight/left/right, traffic lights on a checkerboard of
+    junctions and stop signs on the rest.
+
+    This plays the role CARLA's Town01-06 play for the reference (which ships
+    them pre-rendered in ``carla_gym/core/obs_manager/birdview/maps/*.h5``).
+    """
+    rng = np.random.default_rng(seed)
+    del rng  # layout is deterministic; rng reserved for future variation
+
+    half = lane_width / 2.0
+    nodes: List[np.ndarray] = []
+    edges: List[LaneEdge] = []
+    lights: List[TrafficLightFixture] = []
+    stops: List[StopSignFixture] = []
+
+    def add_node(p: np.ndarray) -> int:
+        nodes.append(p)
+        return len(nodes) - 1
+
+    def inter_center(i: int, j: int) -> np.ndarray:
+        return np.array([i * block, j * block], dtype=np.float64)
+
+    # For each junction, the entry/exit "ports": one per (approach dir, io).
+    # port key: (i, j, heading_idx, 'in'|'out'); headings: 0=E,1=S,2=W,3=N
+    HEADINGS = [0.0, math.pi / 2, math.pi, -math.pi / 2]
+    DIRS = [np.array([1.0, 0.0]), np.array([0.0, 1.0]),
+            np.array([-1.0, 0.0]), np.array([0.0, -1.0])]
+    ports: Dict[Tuple[int, int, int, str], int] = {}
+
+    def right_of(h: int) -> np.ndarray:
+        yaw = HEADINGS[h]
+        return np.array([-math.sin(yaw), math.cos(yaw)])  # (−sin, cos)
+
+    for i in range(nx):
+        for j in range(ny):
+            c = inter_center(i, j)
+            for h in range(4):
+                fwd = DIRS[h]
+                rgt = right_of(h)
+                # Traffic moving with heading h *into* this junction arrives
+                # at the junction edge opposite to its travel direction.
+                p_in = c - fwd * junction_margin + rgt * half
+                p_out = c + fwd * junction_margin + rgt * half
+                ports[(i, j, h, "in")] = add_node(p_in)
+                ports[(i, j, h, "out")] = add_node(p_out)
+
+    # Straight road lanes between adjacent junctions (both directions).
+    for i in range(nx):
+        for j in range(ny):
+            for h, (di, dj) in ((0, (1, 0)), (1, (0, 1))):
+                i2, j2 = i + di, j + dj
+                if i2 >= nx or j2 >= ny:
+                    continue
+                a = ports[(i, j, h, "out")]
+                b = ports[(i2, j2, h, "in")]
+                edges.append(
+                    LaneEdge(a, b, _sample_line(nodes[a], nodes[b]),
+                             RoadOption.LANEFOLLOW, False)
+                )
+                h_op = (h + 2) % 4
+                a2 = ports[(i2, j2, h_op, "out")]
+                b2 = ports[(i, j, h_op, "in")]
+                edges.append(
+                    LaneEdge(a2, b2, _sample_line(nodes[a2], nodes[b2]),
+                             RoadOption.LANEFOLLOW, False)
+                )
+
+    # Junction connectors: from each in-port to the out-ports of the three
+    # non-reverse headings (straight / right / left), when that exit road
+    # exists on the grid.
+    def road_exists(i: int, j: int, h: int) -> bool:
+        di, dj = int(round(DIRS[h][0])), int(round(DIRS[h][1]))
+        i2, j2 = i + di, j + dj
+        return 0 <= i2 < nx and 0 <= j2 < ny
+
+    for i in range(nx):
+        for j in range(ny):
+            for h_in in range(4):
+                if not road_exists(i, j, (h_in + 2) % 4):
+                    continue  # no incoming road from behind
+                src = ports[(i, j, h_in, "in")]
+                for h_out in range(4):
+                    if h_out == (h_in + 2) % 4:
+                        continue  # no U-turns
+                    if not road_exists(i, j, h_out):
+                        continue
+                    dst = ports[(i, j, h_out, "out")]
+                    pts = _sample_arc(
+                        nodes[src], HEADINGS[h_in], nodes[dst], HEADINGS[h_out]
+                    )
+                    edges.append(
+                        LaneEdge(
+                            src, dst, pts,
+                            _turn_option(HEADINGS[h_in], HEADINGS[h_out]),
+                            True,
+                        )
+                    )
+
+    # Signals: checkerboard — even (i+j) junctions get traffic lights (when
+    # they join >= 2 roads per axis), odd ones get stop signs on each entry.
+    for i in range(nx):
+        for j in range(ny):
+            c = inter_center(i, j)
+            entries = [h for h in range(4) if road_exists(i, j, (h + 2) % 4)]
+            if len(entries) < 3:
+                continue  # corner junctions stay unsignalled
+            junction_id = i * ny + j
+            if (i + j) % signal_period == 0:
+                for h in entries:
+                    fwd = DIRS[h]
+                    rgt = right_of(h)
+                    p_in = c - fwd * junction_margin + rgt * half
+                    a = p_in - rgt * half * 1.2
+                    b = p_in + rgt * half * 1.2
+                    lights.append(
+                        TrafficLightFixture(
+                            stop_a=a, stop_b=b, yaw=HEADINGS[h],
+                            junction=junction_id, group=h % 2,
+                        )
+                    )
+            else:
+                for h in entries:
+                    fwd = DIRS[h]
+                    rgt = right_of(h)
+                    p_in = c - fwd * junction_margin + rgt * half
+                    stops.append(
+                        StopSignFixture(
+                            center=p_in - fwd * 1.0, yaw=HEADINGS[h],
+                            extent=np.array([2.0, half * 1.2]),
+                        )
+                    )
+
+    adjacency: Dict[int, List[int]] = {}
+    for k, e in enumerate(edges):
+        adjacency.setdefault(e.src, []).append(k)
+
+    return LaneGraph(
+        nodes=np.array(nodes), edges=edges, adjacency=adjacency,
+        traffic_lights=lights, stop_signs=stops, lane_width=lane_width,
+    )
+
+
+def nearest_edge_point(graph: LaneGraph, xy: np.ndarray) -> Tuple[int, int]:
+    """Locate (edge index, point index) nearest to a world location —
+    the counterpart of ``map.get_waypoint`` localization."""
+    best = (0, 0)
+    best_d = float("inf")
+    for k, e in enumerate(graph.edges):
+        d = np.linalg.norm(e.pts - xy[None, :], axis=1)
+        m = int(np.argmin(d))
+        if d[m] < best_d:
+            best_d = float(d[m])
+            best = (k, m)
+    return best
+
+
+def astar(graph: LaneGraph, src_node: int, dst_node: int) -> List[int]:
+    """A* over the lane graph, Euclidean heuristic — mirrors the reference's
+    ``nx.astar_path`` usage (``global_route_planner.py:195-211``).
+    Returns a list of edge indices; [] if src == dst, None if unreachable."""
+    if src_node == dst_node:
+        return []
+    goal = graph.nodes[dst_node]
+
+    def h(n: int) -> float:
+        return float(np.linalg.norm(graph.nodes[n] - goal))
+
+    dist = {src_node: 0.0}
+    came: Dict[int, Tuple[int, int]] = {}
+    pq = [(h(src_node), src_node)]
+    seen = set()
+    while pq:
+        _, n = heapq.heappop(pq)
+        if n in seen:
+            continue
+        seen.add(n)
+        if n == dst_node:
+            path = []
+            while n != src_node:
+                prev, ek = came[n]
+                path.append(ek)
+                n = prev
+            return path[::-1]
+        for ek in graph.adjacency.get(n, []):
+            e = graph.edges[ek]
+            nd = dist[n] + e.length
+            if nd < dist.get(e.dst, float("inf")):
+                dist[e.dst] = nd
+                came[e.dst] = (n, ek)
+                heapq.heappush(pq, (nd + h(e.dst), e.dst))
+    return None
