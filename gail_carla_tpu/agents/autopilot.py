@@ -1,0 +1,160 @@
+"""Scripted expert: the reference's BasicAgent/LocalPlanner/PID stack as
+pure jittable functions.
+
+Traces:
+- PID with a 30-sample error window:   .../agents/utils/controller.py:4-29
+- target-waypoint selection + 2 PIDs:  .../agents/utils/local_planner.py:22-78
+- expert wiring (target speed 6 m/s):  carla_exp.py:49-53, basic_agent.py:18-46
+  (BasicAgent's hazard checks are disabled in the reference,
+  basic_agent.py:32 — so the expert is exactly the LocalPlanner)
+
+The expert runs vmapped over thousands of worlds to generate demonstrations
+on device, replacing the PNG + episode.json pipeline for training (a
+file-compatible exporter lives in tools/gen_trajectories.py).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gail_carla_tpu.config import EnvConfig
+from gail_carla_tpu.scene.scene import StaticScene
+from gail_carla_tpu.sim.state import WorldState
+from gail_carla_tpu.sim.transforms import loc_global_to_ref
+
+PID_WINDOW = 30  # controller.py:5
+
+
+@struct.dataclass
+class PIDState:
+    """Ring buffer equivalent of controller.py's deque(maxlen=30). Unused
+    slots are zero, so summing the whole buffer equals summing the window."""
+
+    buf: jnp.ndarray    # (PID_WINDOW,)
+    idx: jnp.ndarray    # () i32
+    count: jnp.ndarray  # () i32
+    prev: jnp.ndarray   # () f32 previous error
+
+
+def make_pid() -> PIDState:
+    return PIDState(
+        buf=jnp.zeros((PID_WINDOW,)),
+        idx=jnp.zeros((), jnp.int32),
+        count=jnp.zeros((), jnp.int32),
+        prev=jnp.zeros(()),
+    )
+
+
+def pid_step(state: PIDState, error, kp, ki, kd, dt: float = 0.1):
+    """controller.py:14-29: integral = window sum * dt, derivative from the
+    last two samples, both zero until two samples exist."""
+    buf = state.buf.at[state.idx].set(error)
+    count = jnp.minimum(state.count + 1, PID_WINDOW)
+    have2 = count >= 2
+    integral = jnp.where(have2, jnp.sum(buf) * dt, 0.0)
+    deriv = jnp.where(have2, (error - state.prev) / dt, 0.0)
+    out = kp * error + ki * integral + kd * deriv
+    new = PIDState(
+        buf=buf, idx=(state.idx + 1) % PID_WINDOW, count=count, prev=error
+    )
+    return new, out
+
+
+@struct.dataclass
+class AutopilotState:
+    turn_pid: PIDState
+    speed_pid: PIDState
+    last_command: jnp.ndarray   # () i32, local_planner.py:37
+
+
+def make_autopilot() -> AutopilotState:
+    return AutopilotState(
+        turn_pid=make_pid(),
+        speed_pid=make_pid(),
+        last_command=jnp.full((), 4, jnp.int32),
+    )
+
+
+# local_planner.py defaults
+LON_PID = (0.5, 0.025, 0.1)
+LAT_PID = (0.75, 0.05, 0.0)
+THRESHOLD_BEFORE = 7.5
+THRESHOLD_AFTER = 5.0
+MAX_SKIP = 20
+TARGET_SPEED = 6.0  # m/s, carla_exp.py:49
+
+
+def autopilot_act(
+    scene: StaticScene,
+    ap: AutopilotState,
+    world: WorldState,
+    target_speed: float = TARGET_SPEED,
+):
+    """One expert decision: (steer, throttle) for the current world state.
+
+    local_planner.run_step over the truncated dense route: scan the next 20
+    route points; each point within threshold becomes the new target and
+    updates last_command *sequentially* (the threshold for later points
+    depends on earlier updates, so this is a lax.scan, not a reduction).
+    """
+    rid, head = world.route_id, world.head
+    n = scene.route_n[rid]
+    ego = world.ego
+
+    offs = jnp.arange(MAX_SKIP)
+    idxs = jnp.minimum(head + offs, n - 1)
+    pts = scene.route_xy[rid, idxs]               # (20, 2)
+    opts = scene.route_cmd[rid, idxs]             # (20,)
+    dists = jnp.linalg.norm(pts - ego.xy[None, :], axis=-1)
+
+    def scan_body(carry, inp):
+        last_cmd, target_i = carry
+        i, dist, opt = inp
+        thresh = jnp.where(
+            (last_cmd == 4) & (opt != 4), THRESHOLD_BEFORE, THRESHOLD_AFTER
+        )
+        hit = dist < thresh
+        last_cmd = jnp.where(hit, opt, last_cmd)
+        target_i = jnp.where(hit, i, target_i)
+        return (last_cmd, target_i), None
+
+    (last_cmd, target_i), _ = jax.lax.scan(
+        scan_body,
+        (ap.last_command, jnp.full((), -1, jnp.int32)),
+        (offs.astype(jnp.int32), dists, opts),
+    )
+    # local_planner.py:52-53: step one past the last point within threshold
+    target_i = jnp.minimum(target_i + 1, MAX_SKIP - 1)
+    target_idx = jnp.minimum(head + target_i, n - 1)
+    target_cmd = scene.route_cmd[rid, target_idx]
+    target_xy = scene.route_xy[rid, target_idx]
+
+    local = loc_global_to_ref(target_xy, ego.xy, ego.yaw)
+    theta = jnp.arctan2(local[1], local[0])
+    turn_pid, steer = pid_step(ap.turn_pid, theta, *LAT_PID)
+
+    # slow down off lane-follow/straight (local_planner.py:66-67)
+    tspeed = jnp.where(
+        (target_cmd == 3) | (target_cmd == 4), target_speed,
+        target_speed * 0.75,
+    )
+    delta = tspeed - ego.speed
+    speed_pid, throttle = pid_step(ap.speed_pid, delta, *LON_PID)
+
+    steer = jnp.clip(steer, -1.0, 1.0)
+    throttle = jnp.clip(throttle, 0.0, 1.0)
+    action = jnp.stack([steer, throttle])
+    return (
+        AutopilotState(
+            turn_pid=turn_pid, speed_pid=speed_pid, last_command=last_cmd
+        ),
+        action,
+    )
+
+
+def reset_autopilot_where(done, ap: AutopilotState) -> AutopilotState:
+    """Clear controller state at episode boundaries (a fresh BasicAgent is
+    constructed per episode in carla_exp.py:49)."""
+    fresh = make_autopilot()
+    return jax.tree.map(lambda a, b: jnp.where(done, b, a), ap, fresh)

@@ -1,0 +1,139 @@
+"""Typed configuration tree.
+
+Replaces the reference's flat ``params_variable.json`` (read in
+``wdail_carla.py:122-126``) and the literal obs/reward/terminal dicts in
+``carla_env.py:17-77``. Dataclasses are frozen/hashable so they can be closed
+over by jit as static arguments. ``TrainConfig.from_json`` accepts the
+reference's parameter file schema where keys overlap.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """Single-world simulation settings (CarlaEnv + CarlaMultiAgentEnv
+    equivalents: ``carla_env.py:81-104``, ``carla_multi_agent_env.py:170-176``)."""
+
+    dt: float = 0.1                    # fixed_delta_seconds
+    max_time: float = 240.0            # s; 2400 steps = env_ep_length default
+    train: bool = True                 # route-resume curriculum on
+    # --- observation ---
+    obs_mode: str = "bev"              # "bev" | "state"
+    bev_width: int = 192               # carla_env.py:51
+    pixels_ev_to_bottom: int = 40      # carla_env.py:52
+    pixels_per_meter: float = 5.0      # carla_env.py:53
+    history_idx: Tuple[int, ...] = (-16, -11, -6, -1)   # carla_env.py:54
+    route_ahead_m: float = 80.0        # chauffeurnet draws route_plan[0:80]
+    gnss_noise_deg: float = 5e-6       # gnss.py:48-50 noise_lat/lon_stddev
+    # --- route / task ---
+    n_routes: int = 10
+    random_restart_prob: float = 0.1   # ego_vehicle_handler.py:62
+    # --- criteria thresholds ---
+    blocked_speed: float = 0.1         # criteria/blocked.py:6
+    blocked_time: float = 90.0         # criteria/blocked.py:6
+    deviation_max: float = 30.0        # criteria/route_deviation.py:3
+    deviation_min: float = 15.0
+    deviation_pct: float = 0.3
+    completion_pct: float = 0.99       # task_vehicle.py:130
+    completion_dist: float = 10.0
+    target_advance_dist: float = 12.0  # gnss.py:104
+    # --- traffic ---
+    n_npc_vehicles: int = 0
+    n_npc_walkers: int = 0
+
+    @property
+    def max_steps(self) -> int:
+        return int(round(self.max_time / self.dt))
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Policy/discriminator architecture (``tools/model.py``,
+    ``algo/wdgail.py:27-32``)."""
+
+    hidden_size: int = 512             # NNBody, model.py:92
+    head_size: int = 256               # NNHead, model.py:111
+    conv_channels: Tuple[int, ...] = (32, 64, 128, 256)   # model.py:136-145
+    leaky_slope: float = 0.2
+    cmd_embed_dim: int = 8             # model.py:171-173
+    max_road_options: int = 10
+    logstd: Tuple[float, float] = (-1.4, -3.2)   # params_variable.json:39
+    use_activation: bool = True        # tanh steer / sigmoid throttle
+    disc_hidden: int = 100             # wdail_carla.py passes hidden_dim=100
+    dtype: str = "bfloat16"            # compute dtype for conv/matmul (MXU)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """WDGAIL outer-loop settings (``params_variable.json``)."""
+
+    num_env_steps: int = 10_000_000
+    num_steps: int = 7200              # per update, across all envs
+    n_envs: int = 16                   # reference: 10 remote CARLA servers
+    seed: int = 1
+    # PPO (algo/ppo.py)
+    lr: float = 1e-4
+    ppo_epoch: int = 16
+    mini_batch_size: int = 128
+    clip_param: float = 0.1
+    eps: float = 1e-8
+    betas: Tuple[float, float] = (0.9, 0.99)
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    value_loss_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    use_linear_lr_decay: bool = False
+    # WDGAIL (algo/wdgail.py)
+    gail_batch_size: int = 128
+    gail_lr: float = 2.5e-4
+    gail_eps: float = 1e-8
+    gail_betas: Tuple[float, float] = (0.9, 0.99)
+    gail_thre: int = 10                # warm-up horizon (tools/learn.py:146-151)
+    gail_pre_epoch: int = 6
+    gail_epoch: int = 1
+    gail_max_grad_norm: float = 0.5
+    grad_pen_lambda: float = 10.0      # wdgail.py:63
+    # BCGAIL blend (algo/ppo.py:88-102,136-137)
+    bcgail: bool = True
+    gail_gamma: float = 0.0            # params_variable.json "gailgamma"
+    decay: float = 1.0
+    # bookkeeping
+    eval_interval: int = 3
+    log_interval: int = 1
+    eval_route: int = 3                # params_variable.json:14
+    routes: Tuple[int, ...] = (0, 1, 2, 4, 5, 6, 7, 8, 9)
+    resume_training: bool = False
+
+    @property
+    def steps_per_env(self) -> int:
+        # tools/learn.py:46-47 floors num_steps / nenv
+        return self.num_steps // self.n_envs
+
+    @property
+    def n_updates(self) -> int:
+        return self.num_env_steps // self.num_steps
+
+    @classmethod
+    def from_json(cls, path: str) -> "TrainConfig":
+        with open(path) as f:
+            raw = json.load(f)
+        field_names = {f.name for f in dataclasses.fields(cls)}
+        alias = {
+            "gailgamma": "gail_gamma",
+        }
+        kwargs = {}
+        for k, v in raw.items():
+            k = alias.get(k, k)
+            if k in field_names:
+                if isinstance(v, list):
+                    v = tuple(v)
+                if k in ("num_env_steps",):
+                    v = int(v)
+                kwargs[k] = v
+        if "envs_params" in raw:
+            kwargs["n_envs"] = len(raw["envs_params"])
+        return cls(**kwargs)

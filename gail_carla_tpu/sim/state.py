@@ -1,0 +1,83 @@
+"""WorldState: the complete per-env simulation state as one pytree.
+
+The reference scatters this across a remote CARLA server plus a web of
+handler objects (``TaskVehicle`` route/criteria state, ``ObsManager`` queues,
+``EgoVehicleHandler`` curriculum fields). Here it is a single immutable
+dataclass; ``jax.vmap`` over a batched WorldState is the framework's
+equivalent of SubprocVecEnv's N worker processes.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gail_carla_tpu.sim.dynamics import VehicleState
+
+
+@struct.dataclass
+class TrafficState:
+    """Background actors (zombie vehicles/walkers). Shapes (K, ...) / (W, ...)
+    are static per config; K = 0 disables traffic."""
+
+    veh: VehicleState              # (K,) batched vehicle states
+    veh_edge: jnp.ndarray          # (K,) i32 current lane-graph edge (as route row)
+    veh_s: jnp.ndarray             # (K,) f32 arc position on edge
+    veh_err_i: jnp.ndarray         # (K,) f32 speed PID integral
+    veh_err_prev: jnp.ndarray      # (K,) f32 speed PID last error
+    walker_xy: jnp.ndarray         # (W, 2)
+    walker_goal: jnp.ndarray       # (W, 2)
+    walker_speed: jnp.ndarray      # (W,)
+
+
+@struct.dataclass
+class WorldState:
+    # --- ego vehicle ---
+    ego: VehicleState
+    last_steer: jnp.ndarray        # () f32, for r_action (valeo_action.py:33-37)
+    # --- route progress (task_vehicle.py) ---
+    route_id: jnp.ndarray          # () i32
+    head: jnp.ndarray              # () i32 dense-route cursor (route head)
+    last_head: jnp.ndarray         # () i32 previous head (get_route_transform)
+    start_idx: jnp.ndarray         # () i32 spawn index into the dense route
+    s0: jnp.ndarray                # () f32 arc length at spawn
+    route_len_ep: jnp.ndarray      # () f32 remaining-route length at spawn
+    plan_idx: jnp.ndarray          # () i32 gnss target index (starts at -1)
+    # --- criteria accumulators ---
+    blocked_elapsed: jnp.ndarray   # () f32 s below speed threshold
+    out_route_dist: jnp.ndarray    # () f32 metres travelled while off-route
+    stop_target: jnp.ndarray       # () i32 active stop sign (-1 none)
+    stop_completed: jnp.ndarray    # () bool stop satisfied for stop_target
+    encountered_light: jnp.ndarray  # () i32 last encountered light (-1 none)
+    ran_light: jnp.ndarray         # () bool a red light was run this episode
+    ran_stop: jnp.ndarray          # () bool a stop sign was run this episode
+    n_collisions: jnp.ndarray      # () i32
+    # --- episode bookkeeping ---
+    step: jnp.ndarray              # () i32
+    episode_reward: jnp.ndarray    # () f32
+    last_total: jnp.ndarray        # () f32 last route-completion fraction
+    # --- curriculum carry, persists across auto-resets
+    #     (ego_vehicle_handler.py:55-78) ---
+    resume_idx: jnp.ndarray        # () i32 route head when last episode ended
+    completed_last: jnp.ndarray    # () bool last episode completed the route
+    # --- randomness ---
+    rng: jax.Array                 # PRNG key
+    # --- traffic ---
+    traffic: TrafficState = None
+
+
+def make_empty_traffic(n_veh: int = 0, n_walkers: int = 0) -> TrafficState:
+    return TrafficState(
+        veh=VehicleState(
+            xy=jnp.zeros((n_veh, 2)),
+            yaw=jnp.zeros((n_veh,)),
+            speed=jnp.zeros((n_veh,)),
+        ),
+        veh_edge=jnp.zeros((n_veh,), jnp.int32),
+        veh_s=jnp.zeros((n_veh,)),
+        veh_err_i=jnp.zeros((n_veh,)),
+        veh_err_prev=jnp.zeros((n_veh,)),
+        walker_xy=jnp.zeros((n_walkers, 2)),
+        walker_goal=jnp.zeros((n_walkers, 2)),
+        walker_speed=jnp.ones((n_walkers,)),
+    )
