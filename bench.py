@@ -1,0 +1,116 @@
+"""Benchmark: env steps/sec/chip at 4096 vmapped envs (BASELINE.json metric).
+
+Measures the full environment pipeline on the default JAX backend — world
+dynamics + route tracking + criteria + GNSS metrics, driven by the vmapped
+scripted autopilot (the sim work CARLA's server does for the reference at
+~10 Hz x 10 envs). Also reports, on stderr, the step rate including 192x192
+BEV observation rendering (the reference renders BEV on CPU inside each env
+step, chauffeurnet.py:105-211).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
+vs_baseline is measured against the 100k steps/s/chip north star
+(/root/repo/BASELINE.json; the reference itself publishes no numbers —
+its operating point is 10 envs x 10 Hz = ~100 steps/s).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+N_ENVS = 4096
+N_STEPS = 64
+N_STEPS_BEV = 8
+NORTH_STAR = 100_000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gail_carla_tpu.agents.autopilot import (
+        autopilot_act, make_autopilot, reset_autopilot_where,
+    )
+    from gail_carla_tpu.algo.rollout import _render_batch
+    from gail_carla_tpu.config import EnvConfig
+    from gail_carla_tpu.scene.scene import make_benchmark_scene
+    from gail_carla_tpu.sim.env import reset_batch, step_batch
+
+    scene = make_benchmark_scene(n_routes=10, nx=4, ny=4, block=100.0,
+                                 min_length=400.0)
+    cfg = EnvConfig(train=True)
+    rng = jax.random.PRNGKey(0)
+    route_ids = jnp.arange(N_ENVS, dtype=jnp.int32) % scene.n_routes
+    states, metrics, render = reset_batch(scene, cfg, rng, route_ids)
+    ap0 = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (N_ENVS,) + a.shape), make_autopilot()
+    )
+
+    @jax.jit
+    def run_steps(states, ap):
+        def body(carry, _):
+            st, ap = carry
+            ap, actions = jax.vmap(
+                lambda a, w: autopilot_act(scene, a, w)
+            )(ap, st)
+            st2, out = step_batch(scene, cfg, st, actions)
+            ap = jax.vmap(reset_autopilot_where)(out.done, ap)
+            return (st2, ap), None
+
+        (st, ap), _ = jax.lax.scan(body, (states, ap), None, length=N_STEPS)
+        return st, ap
+
+    @jax.jit
+    def run_steps_with_bev(states, ap, render):
+        def body(carry, _):
+            st, ap, render = carry
+            obs = _render_batch(scene, cfg, render)
+            ap, actions = jax.vmap(
+                lambda a, w: autopilot_act(scene, a, w)
+            )(ap, st)
+            # fold a reduction of obs into the action so rendering can't be
+            # dead-code-eliminated
+            actions = actions + 0.0 * jnp.mean(
+                obs, axis=(1, 2, 3), keepdims=False
+            )[:, None]
+            st2, out = step_batch(scene, cfg, st, actions)
+            ap = jax.vmap(reset_autopilot_where)(out.done, ap)
+            return (st2, ap, out.render), None
+
+        (st, ap, render), _ = jax.lax.scan(
+            body, (states, ap, render), None, length=N_STEPS_BEV
+        )
+        return st, ap, render
+
+    def timeit(name, fn, *args, n_steps=N_STEPS):
+        t0 = time.perf_counter()
+        out = fn(*args)  # compile + warm up
+        jax.block_until_ready(out)
+        print(f"{name}: compiled in {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        rate = N_ENVS * n_steps / dt
+        print(f"{name}: {rate:,.0f} steps/s", file=sys.stderr, flush=True)
+        return rate
+
+    sim_rate = timeit("sim-only", run_steps, states, ap0)
+    bev_rate = timeit(
+        "with 192px BEV obs", run_steps_with_bev, states, ap0, render,
+        n_steps=N_STEPS_BEV,
+    )
+    print(json.dumps({
+        "metric": "env_steps_per_sec_per_chip_4096envs",
+        "value": round(sim_rate, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(sim_rate / NORTH_STAR, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

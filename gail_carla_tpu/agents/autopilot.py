@@ -99,13 +99,16 @@ def autopilot_act(
     depends on earlier updates, so this is a lax.scan, not a reduction).
     """
     rid, head = world.route_id, world.head
-    n = scene.route_n[rid]
     ego = world.ego
 
     offs = jnp.arange(MAX_SKIP)
-    idxs = jnp.minimum(head + offs, n - 1)
-    pts = scene.route_xy[rid, idxs]               # (20, 2)
-    opts = scene.route_cmd[rid, idxs]             # (20,)
+    # contiguous windows (route rows pad with the final point past n-1)
+    pts = jax.lax.dynamic_slice(
+        scene.route_xy, (rid, head, 0), (1, MAX_SKIP, 2)
+    )[0]                                          # (20, 2)
+    opts = jax.lax.dynamic_slice(
+        scene.route_cmd, (rid, head), (1, MAX_SKIP)
+    )[0]                                          # (20,)
     dists = jnp.linalg.norm(pts - ego.xy[None, :], axis=-1)
 
     def scan_body(carry, inp):
@@ -126,9 +129,8 @@ def autopilot_act(
     )
     # local_planner.py:52-53: step one past the last point within threshold
     target_i = jnp.minimum(target_i + 1, MAX_SKIP - 1)
-    target_idx = jnp.minimum(head + target_i, n - 1)
-    target_cmd = scene.route_cmd[rid, target_idx]
-    target_xy = scene.route_xy[rid, target_idx]
+    target_cmd = opts[target_i]
+    target_xy = pts[target_i]
 
     local = loc_global_to_ref(target_xy, ego.xy, ego.yaw)
     theta = jnp.arctan2(local[1], local[0])

@@ -1,0 +1,134 @@
+"""Rollout and expert-demo buffers.
+
+Replaces ``tools/storage.py`` (RolloutStorage) and the PNG-backed
+``ExpertDataset`` (``algo/wdgail.py:192-241``). Two observation policies:
+
+- ``obs`` materialised as uint8 (T, N, 3, W, W): render once while acting,
+  decode per minibatch. Right at reference scale (7200 steps ≈ 0.8 GB HBM).
+- ``obs = None``: minibatches re-render from the compact RenderState — the
+  rematerialisation mode for huge env counts.
+
+Both live entirely on device; there is no host dataloader.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from gail_carla_tpu.config import EnvConfig
+from gail_carla_tpu.ops.bev import render_bev
+from gail_carla_tpu.scene.scene import StaticScene
+from gail_carla_tpu.sim.env import RenderState
+
+
+@struct.dataclass
+class Rollout:
+    """(T, N, ...) on-policy buffer; index [T] rows of metrics/render/values
+    hold the bootstrap step (tools/storage.py keeps T+1 rows the same way)."""
+
+    render: RenderState          # leaves (T+1, N, ...)
+    metrics: jnp.ndarray         # (T+1, N, 4)
+    obs: Optional[jnp.ndarray]   # (T+1, N, 3, W, W) u8 or None
+    actions: jnp.ndarray         # (T, N, 2)
+    logp: jnp.ndarray            # (T, N)
+    values: jnp.ndarray          # (T+1, N)
+    env_rewards: jnp.ndarray     # (T, N)
+    masks: jnp.ndarray           # (T+1, N); masks[t+1] = 0 if step t ended
+    gail_rewards: jnp.ndarray    # (T, N), filled by the relabel pass
+
+    @property
+    def T(self):
+        return self.actions.shape[0]
+
+    @property
+    def N(self):
+        return self.actions.shape[1]
+
+
+@struct.dataclass
+class ExpertBuffer:
+    """Flat (M, ...) expert transitions (compacted to valid steps)."""
+
+    render: RenderState          # leaves (M, ...)
+    metrics: jnp.ndarray         # (M, 4)
+    obs: Optional[jnp.ndarray]   # (M, 3, W, W) u8 or None
+    actions: jnp.ndarray         # (M, 2)
+
+    @property
+    def size(self):
+        return self.actions.shape[0]
+
+
+def _decode(obs_u8):
+    return obs_u8.astype(jnp.float32) / 255.0
+
+
+def fetch_rollout_obs(scene, cfg: EnvConfig, rollout: Rollout, t_idx, n_idx):
+    """(B, 3, W, W) float obs for flat minibatch indices (t, n)."""
+    if rollout.obs is not None:
+        return _decode(rollout.obs[t_idx, n_idx])
+    r = jax.tree.map(lambda a: a[t_idx, n_idx], rollout.render)
+    return jax.vmap(
+        lambda rr: render_bev(scene, cfg, rr.xy, rr.yaw, rr.route_id, rr.head)
+    )(r)
+
+
+def fetch_expert_obs(scene, cfg: EnvConfig, buf: ExpertBuffer, idx):
+    if buf.obs is not None:
+        return _decode(buf.obs[idx])
+    r = jax.tree.map(lambda a: a[idx], buf.render)
+    return jax.vmap(
+        lambda rr: render_bev(scene, cfg, rr.xy, rr.yaw, rr.route_id, rr.head)
+    )(r)
+
+
+def build_expert_buffer(
+    scene: StaticScene,
+    cfg: EnvConfig,
+    demos,                      # algo.expert.DemoBatch
+    materialize_obs: bool = True,
+    size: Optional[int] = None,
+) -> ExpertBuffer:
+    """Compact a DemoBatch to its valid steps (host-side, once at startup —
+    like the reference loads gail_experts/ once in wdail_carla.py:159-183).
+    Pads by repeating valid rows so the result has a static size."""
+    render, metrics, actions, valid = demos.flatten()
+    valid = np.asarray(valid)
+    idx = np.nonzero(valid)[0]
+    if len(idx) == 0:
+        raise ValueError("expert generated no valid (completed) episodes")
+    if size is None:
+        size = len(idx)
+    sel = idx[np.arange(size) % len(idx)]
+    sel = jnp.asarray(sel)
+
+    render_sel = jax.tree.map(lambda a: a[sel], render)
+    metrics_sel = metrics[sel]
+    actions_sel = actions[sel]
+
+    obs = None
+    if materialize_obs:
+        def chunk_render(r):
+            return (
+                jax.vmap(
+                    lambda rr: render_bev(
+                        scene, cfg, rr.xy, rr.yaw, rr.route_id, rr.head
+                    )
+                )(r)
+                * 255.0
+            ).astype(jnp.uint8)
+
+        chunks = []
+        B = 512
+        for lo in range(0, size, B):
+            r = jax.tree.map(lambda a: a[lo:lo + B], render_sel)
+            chunks.append(jax.jit(chunk_render)(r))
+        obs = jnp.concatenate(chunks, axis=0)
+
+    return ExpertBuffer(
+        render=render_sel, metrics=metrics_sel, obs=obs, actions=actions_sel
+    )

@@ -1,0 +1,200 @@
+"""The WDGAIL learner: one jitted update = rollout + discriminator epochs +
+reward relabel + GAE + PPO.
+
+Replaces the reference's outer loop ``tools/learn.py:89-306`` (which shuttles
+tensors between CPU workers and the GPU and swaps the actor/discriminator
+between devices every phase, learn.py:108-109/140-141/214-215). Here the
+whole update is a single on-device program; the host loop only carries the
+LearnerState handle, applies the warm-up epoch count, and logs.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gail_carla_tpu.algo import ppo as ppo_mod
+from gail_carla_tpu.algo import wdgail as wdgail_mod
+from gail_carla_tpu.algo.buffers import ExpertBuffer, Rollout
+from gail_carla_tpu.algo.rollout import collect_rollout
+from gail_carla_tpu.config import EnvConfig, ModelConfig, TrainConfig
+from gail_carla_tpu.models.discriminator import init_discriminator
+from gail_carla_tpu.models.policy import init_policy
+from gail_carla_tpu.ops.gae import compute_returns
+from gail_carla_tpu.scene.scene import StaticScene
+from gail_carla_tpu.sim.env import reset_batch
+
+
+@struct.dataclass
+class LearnerState:
+    policy_params: dict
+    policy_opt: tuple
+    disc_params: dict
+    disc_opt: tuple
+    env_states: object
+    metrics: jnp.ndarray
+    render: object
+    gail_gamma: jnp.ndarray      # () f32, BCGAIL weight, decays per update
+    rng: jax.Array
+    update_i: jnp.ndarray        # () i32
+
+
+class WDGAILLearner:
+    """Host-side handle: builds nets/optimizers, owns the jitted update."""
+
+    def __init__(
+        self,
+        scene: StaticScene,
+        env_cfg: EnvConfig,
+        model_cfg: ModelConfig,
+        tcfg: TrainConfig,
+        expert: ExpertBuffer,
+        expert_val: Optional[ExpertBuffer] = None,
+        store_obs: bool = True,
+        axis_name: Optional[str] = None,
+        jit_update: bool = True,
+    ):
+        self.axis_name = axis_name
+        self.scene = scene
+        self.env_cfg = env_cfg
+        self.model_cfg = model_cfg
+        self.tcfg = tcfg
+        self.expert = expert
+        self.expert_val = expert_val if expert_val is not None else expert
+        self.store_obs = store_obs
+
+        obs_shape = (3, env_cfg.bev_width, env_cfg.bev_width)
+        rng = jax.random.PRNGKey(tcfg.seed)
+        k_p, k_d, self._init_rng = jax.random.split(rng, 3)
+        self.policy_net, policy_params = init_policy(
+            k_p, model_cfg, obs_shape
+        )
+        self.disc_net, disc_params = init_discriminator(
+            k_d, model_cfg, obs_shape
+        )
+        self.policy_optimizer = ppo_mod.make_policy_optimizer(tcfg)
+        self.disc_optimizer = wdgail_mod.make_disc_optimizer(tcfg)
+        self._policy_params0 = policy_params
+        self._disc_params0 = disc_params
+
+        self._update_fn = (
+            jax.jit(self._update) if jit_update else self._update
+        )
+
+    def init_state(self, route_ids=None) -> LearnerState:
+        tcfg = self.tcfg
+        if route_ids is None:
+            routes = tcfg.routes
+            route_ids = jnp.asarray(
+                [routes[i % len(routes)] for i in range(tcfg.n_envs)],
+                jnp.int32,
+            )
+        rng, k_env = jax.random.split(self._init_rng)
+        env_states, metrics, render = reset_batch(
+            self.scene, self.env_cfg, k_env, route_ids
+        )
+        return LearnerState(
+            policy_params=self._policy_params0,
+            policy_opt=self.policy_optimizer.init(self._policy_params0),
+            disc_params=self._disc_params0,
+            disc_opt=self.disc_optimizer.init(self._disc_params0),
+            env_states=env_states,
+            metrics=metrics,
+            render=render,
+            gail_gamma=jnp.asarray(tcfg.gail_gamma, jnp.float32),
+            rng=rng,
+            update_i=jnp.zeros((), jnp.int32),
+        )
+
+    def _update(self, state: LearnerState, n_disc_epochs):
+        scene, env_cfg, tcfg = self.scene, self.env_cfg, self.tcfg
+        rng, k_roll, k_disc, k_ppo, k_val1, k_val2 = jax.random.split(
+            state.rng, 6
+        )
+
+        env_states, metrics, render, rollout, ep_stats = collect_rollout(
+            scene, env_cfg, self.policy_net, state.policy_params,
+            state.env_states, state.metrics, state.render,
+            k_roll, tcfg.steps_per_env, self.store_obs,
+        )
+
+        pre_wd, pre_e, pre_p = wdgail_mod.validation_wd(
+            scene, env_cfg, self.disc_net, state.disc_params, rollout,
+            self.expert_val, k_val1,
+        )
+
+        disc_params, disc_opt, disc_aux = wdgail_mod.disc_update(
+            scene, env_cfg, tcfg, self.disc_net, state.disc_params,
+            self.disc_optimizer, state.disc_opt, rollout, self.expert,
+            k_disc, n_disc_epochs, axis_name=self.axis_name,
+        )
+
+        post_wd, post_e, post_p = wdgail_mod.validation_wd(
+            scene, env_cfg, self.disc_net, disc_params, rollout,
+            self.expert_val, k_val2,
+        )
+
+        gail_rewards = wdgail_mod.relabel_rewards(
+            scene, env_cfg, self.disc_net, disc_params, rollout
+        )
+        rollout = rollout.replace(gail_rewards=gail_rewards)
+
+        returns = compute_returns(
+            rollout.gail_rewards, rollout.env_rewards, rollout.values,
+            rollout.masks, tcfg.gamma, tcfg.gae_lambda,
+        )
+
+        policy_params, policy_opt, ppo_aux = ppo_mod.ppo_update(
+            scene, env_cfg, tcfg, self.policy_net, state.policy_params,
+            self.policy_optimizer, state.policy_opt, rollout, returns,
+            k_ppo, state.gail_gamma,
+            self.expert if tcfg.bcgail else None,
+            axis_name=self.axis_name,
+        )
+
+        new_state = LearnerState(
+            policy_params=policy_params,
+            policy_opt=policy_opt,
+            disc_params=disc_params,
+            disc_opt=disc_opt,
+            env_states=env_states,
+            metrics=metrics,
+            render=render,
+            gail_gamma=state.gail_gamma * tcfg.decay,  # ppo.py:136-137
+            rng=rng,
+            update_i=state.update_i + 1,
+        )
+        metrics_out = dict(ep_stats)
+        metrics_out.update({f"disc/{k}": v for k, v in disc_aux.items()})
+        metrics_out.update({f"ppo/{k}": v for k, v in ppo_aux.items()})
+        metrics_out.update(
+            {
+                "disc/pre_val_wd": pre_wd,
+                "disc/pre_val_expert": pre_e,
+                "disc/pre_val_policy": pre_p,
+                "disc/post_val_wd": post_wd,
+                "disc/post_val_expert": post_e,
+                "disc/post_val_policy": post_p,
+                "ppo/gail_gamma": state.gail_gamma,
+                "ppo/steer_std": jnp.exp(
+                    jnp.asarray(self.model_cfg.logstd[0])
+                ),
+                "ppo/throttle_std": jnp.exp(
+                    jnp.asarray(self.model_cfg.logstd[1])
+                ),
+                "gail_reward_mean": jnp.mean(gail_rewards),
+            }
+        )
+        return new_state, metrics_out
+
+    def update(self, state: LearnerState) -> Tuple[LearnerState, dict]:
+        """One WDGAIL update; host computes the warm-up epoch count
+        (tools/learn.py:146-151) and feeds it as a traced scalar so one
+        compiled program serves the whole schedule."""
+        i_update = int(state.update_i) + 1
+        n_epochs = wdgail_mod.warmup_epochs(self.tcfg, i_update)
+        return self._update_fn(state, jnp.asarray(n_epochs, jnp.int32))

@@ -1,23 +1,25 @@
-"""On-device bird's-eye-view rendering.
+"""On-device bird's-eye-view rendering by vector rasterization.
 
 Replaces the reference's CPU rasterizer ``carla_gym/core/obs_manager/
 birdview/chauffeurnet.py`` for the channels the policy actually consumes:
 ``carla_env.py:133-138`` feeds only birdview mask 0 = (road, route, lane) to
-the network, so that's the hot path rendered here. (The full 15-channel
-history stack for parity/demo export lives in ``ops/bev_full.py``.)
+the network, so that's the hot path rendered here.
 
-Design: instead of warping the big town texture per step (cv2.warpAffine in
-the reference), each output pixel computes its world position from the ego
-pose (the exact inverse of chauffeurnet's 3-point affine,
-``chauffeurnet.py:274-289``) and gathers the static textures. The "route
-ahead" channel — reference draws the next 80 route points each step
-(``chauffeurnet.py:148-153``) — becomes a compare against the pre-baked
-route arc-length texture (see scene/raster.py): visible iff
-s_pixel ∈ [s_now - back_m, s_now + ahead_m].
+TPU-first design (see scene/segments.py for measurements): instead of
+warping town textures (a per-pixel gather XLA compiles catastrophically on
+this TPU stack), each output pixel computes its distance to a small set of
+nearby capsule segments:
 
-Everything is a pure function of RenderState, so rollouts can store 6 floats
-per step and re-render observations inside PPO/discriminator minibatches —
-the rematerialisation trade that keeps 7k-step rollouts on-chip.
+- road / lane-marking segments come from the ego's spatial-hash cell,
+  fetched with one contiguous dynamic_slice;
+- the "route ahead" band (reference draws route_plan[0:80] with a 16 px
+  stroke, chauffeurnet.py:148-153) is the capsule union of the dense-route
+  window starting at the env's route cursor, subsampled 4x.
+
+Everything is a pure function of RenderState (xy, yaw, route_id, head), so
+rollouts can store 4 scalars + a 2-vector per step and re-render
+observations inside PPO/discriminator minibatches — the rematerialisation
+trade that keeps 7k-step rollouts on-chip.
 """
 from __future__ import annotations
 
@@ -25,26 +27,29 @@ import jax
 import jax.numpy as jnp
 
 from gail_carla_tpu.config import EnvConfig
-from gail_carla_tpu.scene.raster import ROUTE_S_SCALE
 from gail_carla_tpu.scene.scene import StaticScene
 
+ROUTE_WINDOW = 84       # dense points sliced at the cursor (>= 80 drawn)
+ROUTE_STRIDE = 4        # subsample for capsule segments (20 segs over 80 m)
+ROUTE_HALF_W = 1.6      # m; 16 px stroke at 5 px/m (chauffeurnet.py:152)
+LANE_HALF_W = 0.25      # m; ~2 px marking stroke
 
-def _pixel_world_coords(cfg: EnvConfig, xy, yaw, world_offset, ppm):
-    """(W, W, 2) texture-pixel coordinates of each BEV output pixel.
 
-    Inverse of chauffeurnet._get_warp_transform: image row 0 is
-    (bev_width - pixels_ev_to_bottom) px ahead of the ego, columns span
-    ego-right, scaled by bev_width/(bev_width-1) like the exact affine fit.
-    """
+def pixel_world_coords(cfg: EnvConfig, xy, yaw):
+    """(W*W, 2) world coordinates of each BEV pixel. Matches chauffeurnet's
+    affine frame (``_get_warp_transform``, chauffeurnet.py:274-289): ego
+    ``pixels_ev_to_bottom`` px above the bottom edge, heading up; columns
+    span ego-right; scale bev_width/(bev_width-1) like the 3-point fit."""
     w = cfg.bev_width
-    ev_px = (xy - world_offset) * ppm
+    ppm = cfg.pixels_per_meter
     c, s = jnp.cos(yaw), jnp.sin(yaw)
     fwd = jnp.stack([c, s])
     right = jnp.stack([-s, c])
     top_left = (
-        ev_px + (w - cfg.pixels_ev_to_bottom) * fwd - 0.5 * w * right
+        xy + ((w - cfg.pixels_ev_to_bottom) / ppm) * fwd
+        - (0.5 * w / ppm) * right
     )
-    scale = w / (w - 1.0)
+    scale = w / (w - 1.0) / ppm
     cols = jnp.arange(w, dtype=jnp.float32)
     rows = jnp.arange(w, dtype=jnp.float32)
     px = (
@@ -52,7 +57,55 @@ def _pixel_world_coords(cfg: EnvConfig, xy, yaw, world_offset, ppm):
         + cols[None, :, None] * scale * right[None, None, :]
         - rows[:, None, None] * scale * fwd[None, None, :]
     )
-    return px
+    return px.reshape(w * w, 2)
+
+
+def capsule_min_dist2(px, seg_ab):
+    """(P,) min squared distance from each pixel to any segment.
+    px: (P, 2); seg_ab: (S, 4)."""
+    a = seg_ab[None, :, :2]
+    b = seg_ab[None, :, 2:]
+    ab = b - a
+    ap = px[:, None, :] - a
+    t = jnp.clip(
+        jnp.sum(ap * ab, -1) / (jnp.sum(ab * ab, -1) + 1e-9), 0.0, 1.0
+    )
+    d2 = jnp.sum((ap - t[..., None] * ab) ** 2, -1)
+    return jnp.min(d2, axis=1)
+
+
+def fetch_cell(scene: StaticScene, xy):
+    """One env's (road_segs (Mr,4), lane_segs (Ml,4), lane_val (Ml,)) via
+    contiguous dynamic_slice — the gather-free spatial hash lookup."""
+    gy, gx = scene.cell_road.shape[:2]
+    cell = jnp.floor((xy - scene.cell_grid_lo) / scene.cell_size).astype(
+        jnp.int32
+    )
+    cx = jnp.clip(cell[0], 0, gx - 1)
+    cy = jnp.clip(cell[1], 0, gy - 1)
+    mr = scene.cell_road.shape[2]
+    ml = scene.cell_lane.shape[2]
+    road = jax.lax.dynamic_slice(
+        scene.cell_road, (cy, cx, 0, 0), (1, 1, mr, 4)
+    )[0, 0]
+    lane = jax.lax.dynamic_slice(
+        scene.cell_lane, (cy, cx, 0, 0), (1, 1, ml, 4)
+    )[0, 0]
+    lane_val = jax.lax.dynamic_slice(
+        scene.cell_lane_val, (cy, cx, 0), (1, 1, ml)
+    )[0, 0]
+    return road, lane, lane_val
+
+
+def route_window_segs(scene: StaticScene, route_id, head):
+    """(K, 4) capsule segments of the route ahead of the cursor."""
+    win = jax.lax.dynamic_slice(
+        scene.route_xy,
+        (route_id, head, 0),
+        (1, ROUTE_WINDOW, 2),
+    )[0]
+    pts = win[::ROUTE_STRIDE]
+    return jnp.concatenate([pts[:-1], pts[1:]], axis=1)
 
 
 def render_bev(
@@ -61,47 +114,62 @@ def render_bev(
     xy: jnp.ndarray,
     yaw: jnp.ndarray,
     route_id: jnp.ndarray,
-    s_now: jnp.ndarray,
-    back_m: float = 2.0,
+    head: jnp.ndarray,
 ) -> jnp.ndarray:
     """(3, W, W) float32 in [0, 1]: channels (road, route, lane) — the
     policy observation (mask 0 of the reference, loaded from PNG as RGB and
     ToTensor'd in carla_env.py:102-138 / wdgail.py:221-236)."""
-    px = _pixel_world_coords(
-        cfg, xy, yaw, scene.world_offset, scene.ppm
+    w = cfg.bev_width
+    px = pixel_world_coords(cfg, xy, yaw)
+    road_segs, lane_segs, lane_val = fetch_cell(scene, xy)
+    route_segs = route_window_segs(scene, route_id, head)
+
+    road_d2 = capsule_min_dist2(px, road_segs)
+    road_ch = (road_d2 <= scene.half_lane**2).astype(jnp.float32)
+
+    route_d2 = capsule_min_dist2(px, route_segs)
+    route_ch = (route_d2 <= ROUTE_HALF_W**2).astype(jnp.float32)
+
+    # lane channel keeps per-segment values: a pixel takes the max value of
+    # any marking covering it (solid 255 beats broken 120)
+    a = lane_segs[None, :, :2]
+    b = lane_segs[None, :, 2:]
+    ab = b - a
+    ap = px[:, None, :] - a
+    t = jnp.clip(
+        jnp.sum(ap * ab, -1) / (jnp.sum(ab * ab, -1) + 1e-9), 0.0, 1.0
     )
-    H, W = scene.road_tex.shape
-    ix = jnp.round(px[..., 0]).astype(jnp.int32)
-    iy = jnp.round(px[..., 1]).astype(jnp.int32)
-    inb = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
-    ixc = jnp.clip(ix, 0, W - 1)
-    iyc = jnp.clip(iy, 0, H - 1)
+    d2 = jnp.sum((ap - t[..., None] * ab) ** 2, -1)
+    hit = d2 <= LANE_HALF_W**2
+    lane_ch = jnp.max(
+        jnp.where(hit, lane_val[None, :], 0.0), axis=1
+    ) / 255.0
 
-    road = scene.road_tex[iyc, ixc]
-    lane = scene.lane_tex[iyc, ixc]
-    sval = scene.route_s_tex[route_id, iyc, ixc]
-
-    s_m = (sval.astype(jnp.float32) - 1.0) * ROUTE_S_SCALE
-    route = (
-        (sval > 0)
-        & (s_m >= s_now - back_m)
-        & (s_m <= s_now + cfg.route_ahead_m)
-    )
-
-    road_f = jnp.where(inb, road, 0).astype(jnp.float32) / 255.0
-    lane_f = jnp.where(inb, lane, 0).astype(jnp.float32) / 255.0
-    route_f = jnp.where(inb & route, 1.0, 0.0)
-    return jnp.stack([road_f, route_f, lane_f], axis=0)
+    img = jnp.stack([road_ch, route_ch, lane_ch], axis=0)
+    return img.reshape(3, w, w)
 
 
-def render_bev_batch(scene, cfg, render_state):
-    """vmap over a RenderState batch (any leading shape)."""
-    flat = jax.tree.map(
-        lambda a: a.reshape((-1,) + a.shape[render_state.yaw.ndim:]),
-        render_state,
-    )
-    imgs = jax.vmap(
-        lambda r: render_bev(scene, cfg, r.xy, r.yaw, r.route_id, r.s_now)
-    )(flat)
+def render_bev_batch(scene, cfg, render_state, chunk: int = 256):
+    """vmap over a RenderState batch (any leading shape), scanning in
+    chunks of ``chunk`` envs: the (pixels x segments) distance intermediate
+    is ~5 MB/env, so an unchunked 4096-env render would materialise ~19 GB
+    and OOM the chip."""
     lead = render_state.yaw.shape
+    flat = jax.tree.map(
+        lambda a: a.reshape((-1,) + a.shape[len(lead):]), render_state
+    )
+    n = flat.yaw.shape[0]
+    vrender = jax.vmap(
+        lambda r: render_bev(scene, cfg, r.xy, r.yaw, r.route_id, r.head)
+    )
+    if n <= chunk or n % chunk != 0:
+        imgs = vrender(flat)
+    else:
+        chunked = jax.tree.map(
+            lambda a: a.reshape((n // chunk, chunk) + a.shape[1:]), flat
+        )
+        _, imgs = jax.lax.scan(
+            lambda _, r: (None, vrender(r)), None, chunked
+        )
+        imgs = imgs.reshape((n,) + imgs.shape[2:])
     return imgs.reshape(lead + imgs.shape[1:])

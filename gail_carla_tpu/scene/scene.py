@@ -3,9 +3,14 @@
 The reference splits static world knowledge between the CARLA server (map,
 waypoints), pre-rendered H5 masks (``chauffeurnet.py:72-85``), and per-reset
 route traces (``task_vehicle.py:42-48``). Here it is all compiled once on
-host into padded, static-shape jnp arrays; every env step is then pure
-device math. One StaticScene serves all vmapped envs (it is closed over, not
-batched).
+host; every env step is then pure device math. One StaticScene serves all
+vmapped envs (it is closed over, not batched).
+
+TPU-first layout decision: the map is stored as *capsule segments bucketed
+into a spatial grid* (scene/segments.py), not textures — texture sampling
+needs per-pixel gathers, which this TPU stack compiles catastrophically
+(measured in round 1; see segments.py docstring). Textures remain available
+offline via scene/raster.py for PNG export and debugging.
 """
 from __future__ import annotations
 
@@ -15,7 +20,7 @@ import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
-from gail_carla_tpu.scene import raster as raster_mod
+from gail_carla_tpu.scene import segments as seg_mod
 from gail_carla_tpu.scene import trace as trace_mod
 from gail_carla_tpu.scene.routes import RouteDef, generate_routes
 from gail_carla_tpu.scene.town import LaneGraph, make_grid_town
@@ -42,18 +47,20 @@ class StaticScene:
     plan_cmd: jnp.ndarray      # (R, P) i32
     plan_n: jnp.ndarray        # (R,) i32
 
-    # --- map textures (chauffeurnet.py:72-85 equivalents) ---
-    road_tex: jnp.ndarray      # (H, W) u8
-    lane_tex: jnp.ndarray      # (H, W) u8 (255 solid, 120 broken)
-    route_s_tex: jnp.ndarray   # (R, H, W) u16, s/0.25m + 1, 0 = empty
-    world_offset: jnp.ndarray  # (2,) f32
+    # --- spatial-hash segment tables (the "map" at runtime) ---
+    cell_grid_lo: jnp.ndarray  # (2,) f32
+    cell_road: jnp.ndarray     # (Gy, Gx, Mr, 4) f32
+    cell_lane: jnp.ndarray     # (Gy, Gx, Ml, 4) f32
+    cell_lane_val: jnp.ndarray  # (Gy, Gx, Ml) f32 (255 solid / 120 broken)
 
     # --- signal fixtures ---
     tl_stop: jnp.ndarray       # (T, 2, 2) f32 stop-line endpoints
     tl_yaw: jnp.ndarray        # (T,) f32
     tl_junction: jnp.ndarray   # (T,) i32
     tl_group: jnp.ndarray      # (T,) i32 phase group within junction
-    ppm: float = struct.field(pytree_node=False, default=5.0)
+
+    cell_size: float = struct.field(pytree_node=False, default=32.0)
+    half_lane: float = struct.field(pytree_node=False, default=1.75)
     tl_n: int = struct.field(pytree_node=False, default=0)
     ss_center: jnp.ndarray = None   # (S, 2) f32 stop signs
     ss_yaw: jnp.ndarray = None      # (S,) f32
@@ -71,15 +78,16 @@ class StaticScene:
 def build_scene(
     graph: LaneGraph,
     route_defs: Sequence[RouteDef],
-    ppm: float = raster_mod.PIXELS_PER_METER,
     route_pts_pad: int = 256,
     plan_pts_pad: int = 32,
+    cell_size: float = 32.0,
 ) -> StaticScene:
-    town_raster = raster_mod.rasterize_town(graph, ppm=ppm)
     dense = [trace_mod.trace_route(graph, r.waypoints) for r in route_defs]
 
     R = len(dense)
-    L = _pad_to(max(len(d.xy) for d in dense), route_pts_pad)
+    # +96 headroom keeps dynamic_slice windows at the route tail from
+    # clamping their start index (they'd silently shift otherwise)
+    L = _pad_to(max(len(d.xy) for d in dense) + 96, route_pts_pad)
     P = _pad_to(max(len(d.plan_xy) for d in dense), plan_pts_pad)
 
     route_xy = np.zeros((R, L, 2), np.float32)
@@ -91,7 +99,6 @@ def build_scene(
     plan_xy = np.zeros((R, P, 2), np.float32)
     plan_cmd = np.full((R, P), 4, np.int32)
     plan_n = np.zeros((R,), np.int32)
-    s_tex = np.zeros((R,) + town_raster.road.shape, np.uint16)
 
     for r, d in enumerate(dense):
         n = len(d.xy)
@@ -111,13 +118,17 @@ def build_scene(
         plan_cmd[r, :p] = d.plan_cmd
         plan_cmd[r, p:] = d.plan_cmd[-1]
         plan_n[r] = p
-        s_tex[r] = raster_mod.rasterize_route_arclength(
-            town_raster, d.xy, d.s
-        )
 
     plan_gps = np.asarray(
         location_to_gps(jnp.asarray(plan_xy.reshape(-1, 2)))
     ).reshape(R, P, 2)
+
+    # spatial-hash segment tables
+    soup = seg_mod.extract_segments(graph)
+    all_pts = np.concatenate([e.pts for e in graph.edges], axis=0)
+    table = seg_mod.build_cell_table(
+        soup, all_pts.min(axis=0), all_pts.max(axis=0), cell_size=cell_size
+    )
 
     tls = graph.traffic_lights
     sss = graph.stop_signs
@@ -156,11 +167,12 @@ def build_scene(
         plan_xy=jnp.asarray(plan_xy),
         plan_cmd=jnp.asarray(plan_cmd),
         plan_n=jnp.asarray(plan_n),
-        road_tex=jnp.asarray(town_raster.road),
-        lane_tex=jnp.asarray(town_raster.lane),
-        route_s_tex=jnp.asarray(s_tex),
-        world_offset=jnp.asarray(town_raster.world_offset),
-        ppm=float(ppm),
+        cell_grid_lo=jnp.asarray(table.grid_lo),
+        cell_road=jnp.asarray(table.road),
+        cell_lane=jnp.asarray(table.lane),
+        cell_lane_val=jnp.asarray(table.lane_val),
+        cell_size=table.cell_size,
+        half_lane=float(graph.lane_width / 2.0),
         tl_stop=jnp.asarray(tl_stop),
         tl_yaw=jnp.asarray(tl_yaw),
         tl_junction=jnp.asarray(tl_junction),

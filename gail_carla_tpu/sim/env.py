@@ -49,7 +49,7 @@ class RenderState:
     xy: jnp.ndarray        # (2,)
     yaw: jnp.ndarray       # ()
     route_id: jnp.ndarray  # () i32
-    s_now: jnp.ndarray     # () f32 absolute route arc length at the head
+    head: jnp.ndarray      # () i32 route cursor (start of the route band)
 
 
 @struct.dataclass
@@ -147,10 +147,13 @@ def _advance_cursor(scene: StaticScene, state: WorldState, ego_xy):
     rid, head = state.route_id, state.head
     n = scene.route_n[rid]
     offs = jnp.arange(_CURSOR_WINDOW)
-    i0 = jnp.minimum(head + offs, n - 1)
-    i1 = jnp.minimum(head + offs + 1, n - 1)
-    p0 = scene.route_xy[rid, i0]
-    p1 = scene.route_xy[rid, i1]
+    # contiguous window via dynamic_slice (gather-free; route rows are
+    # padded with the final point so reads past n-1 are degenerate)
+    win = jax.lax.dynamic_slice(
+        scene.route_xy, (rid, head, 0), (1, _CURSOR_WINDOW + 1, 2)
+    )[0]
+    p0 = win[:-1]
+    p1 = win[1:]
     wp_dir = p1 - p0
     wp_veh = ego_xy[None, :] - p0
     dot = jnp.sum(wp_dir * wp_veh, axis=-1)
@@ -203,7 +206,7 @@ def _observe(scene, cfg: EnvConfig, state: WorldState):
         xy=state.ego.xy,
         yaw=state.ego.yaw,
         route_id=state.route_id,
-        s_now=scene.route_s[state.route_id, state.head],
+        head=state.head,
     )
     state = state.replace(plan_idx=plan_idx, rng=rng)
     return state, metrics, render
@@ -218,18 +221,20 @@ def observe(scene, cfg: EnvConfig, state: WorldState):
 def _static_collision(scene, params: VehicleParams, ego: VehicleState):
     """Stand-in for CARLA's collision sensor against layout
     (criteria/collision.py): fires when the vehicle body has fully left the
-    drivable surface (all four bounding-box corners off the road mask)."""
+    drivable surface (all four bounding-box corners farther from every road
+    capsule than the lane half-width — same geometry the BEV renderer and
+    the offline rasterizer use)."""
+    from gail_carla_tpu.ops.bev import capsule_min_dist2, fetch_cell
+
     c, s = jnp.cos(ego.yaw), jnp.sin(ego.yaw)
     f = jnp.stack([c, s]) * params.half_length
     r = jnp.stack([-s, c]) * params.half_width
     corners = ego.xy[None, :] + jnp.stack(
         [f + r, f - r, -f + r, -f - r], axis=0
     )
-    px = (corners - scene.world_offset[None, :]) * scene.ppm
-    H, W = scene.road_tex.shape
-    ix = jnp.clip(jnp.round(px[:, 0]).astype(jnp.int32), 0, W - 1)
-    iy = jnp.clip(jnp.round(px[:, 1]).astype(jnp.int32), 0, H - 1)
-    on_road = scene.road_tex[iy, ix] > 0
+    road_segs, _, _ = fetch_cell(scene, ego.xy)
+    d2 = capsule_min_dist2(corners, road_segs)
+    on_road = d2 <= scene.half_lane**2
     return ~jnp.any(on_road)
 
 

@@ -1,0 +1,168 @@
+"""WDGAIL training entry point — the ``wdail_carla.py`` equivalent.
+
+Pipeline (wdail_carla.py:129-250 restructured TPU-first):
+1. compile the static scene (stand-in for CARLA town + routes_training.xml)
+2. generate expert demos ON DEVICE with the scripted autopilot + noiser
+   (replaces reading gail_experts/ PNG trees)
+3. build the learner (sharded over all visible chips when >1)
+4. loop jitted updates; periodic deterministic eval on the held-out route;
+   checkpoint the full train state every update
+
+Usage:
+    python -m gail_carla_tpu.train --preset smoke
+    python -m gail_carla_tpu.train --preset reference
+    python -m gail_carla_tpu.train --params params.json   # reference schema
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gail_carla_tpu.algo.buffers import build_expert_buffer
+from gail_carla_tpu.algo.evaluate import evaluate_policy
+from gail_carla_tpu.algo.expert import generate_demos
+from gail_carla_tpu.algo.learner import WDGAILLearner
+from gail_carla_tpu.config import EnvConfig, ModelConfig, TrainConfig
+from gail_carla_tpu.scene.scene import make_benchmark_scene
+from gail_carla_tpu.utils import checkpoint as ckpt_mod
+from gail_carla_tpu.utils.logging import MetricsWriter
+
+
+def make_presets():
+    smoke = dict(
+        env=EnvConfig(train=True, bev_width=64),
+        model=ModelConfig(conv_channels=(8, 16), hidden_size=64,
+                          head_size=32, disc_hidden=32, dtype="float32"),
+        train=TrainConfig(
+            n_envs=4, num_steps=256, num_env_steps=2048,
+            mini_batch_size=32, ppo_epoch=2, gail_batch_size=32,
+            gail_pre_epoch=2, gail_epoch=1, gail_thre=2,
+            routes=(0, 1), eval_route=1, eval_interval=2,
+        ),
+        scene=dict(n_routes=2, nx=3, ny=3, block=80.0, min_length=150.0),
+        demo_steps=900,
+    )
+    reference = dict(
+        env=EnvConfig(train=True),
+        model=ModelConfig(),
+        train=TrainConfig(n_envs=10),
+        scene=dict(n_routes=10, nx=4, ny=4, block=100.0, min_length=400.0),
+        demo_steps=4000,
+    )
+    return {"smoke": smoke, "reference": reference}
+
+
+def run(env_cfg, model_cfg, tcfg, scene_kwargs, demo_steps,
+        max_updates=None, log_dir="runs/wdgail", ckpt_dir=None,
+        use_sharding=None):
+    scene = make_benchmark_scene(**scene_kwargs)
+    writer = MetricsWriter(log_dir)
+
+    # --- expert demos on device (train + held-out val split) ---
+    routes = jnp.asarray(tcfg.routes, jnp.int32)
+    demo_cfg = dataclasses.replace(env_cfg, train=False)
+    demos = generate_demos(
+        scene, demo_cfg, jax.random.PRNGKey(1337), routes, demo_steps
+    )
+    demos_val = generate_demos(
+        scene, demo_cfg, jax.random.PRNGKey(7331),
+        jnp.asarray([tcfg.eval_route], jnp.int32), demo_steps,
+    )
+    expert = build_expert_buffer(scene, env_cfg, demos)
+    expert_val = build_expert_buffer(
+        scene, env_cfg, demos_val, size=min(1024, expert.size)
+    )
+    print(f"expert buffer: {expert.size} transitions "
+          f"(+{expert_val.size} val)", file=sys.stderr)
+
+    n_dev = len(jax.devices())
+    if use_sharding is None:
+        use_sharding = n_dev > 1 and tcfg.n_envs % n_dev == 0
+    if use_sharding:
+        from gail_carla_tpu.parallel.mesh import ShardedWDGAILLearner
+
+        learner = ShardedWDGAILLearner(
+            scene, env_cfg, model_cfg, tcfg, expert, expert_val
+        )
+    else:
+        learner = WDGAILLearner(
+            scene, env_cfg, model_cfg, tcfg, expert, expert_val
+        )
+    state = learner.init_state()
+
+    elapsed0 = 0.0
+    if ckpt_dir and tcfg.resume_training:
+        latest = ckpt_mod.latest_checkpoint(ckpt_dir)
+        if latest:
+            state, elapsed0 = ckpt_mod.restore_checkpoint(latest, state)
+            print(f"resumed from {latest}", file=sys.stderr)
+
+    n_updates = tcfg.n_updates if max_updates is None else max_updates
+    t0 = time.time() - elapsed0
+    eval_metrics = {}
+    while int(state.update_i) < n_updates:
+        state, metrics = learner.update(state)
+        i = int(state.update_i)
+
+        if i % tcfg.eval_interval == 0 or not eval_metrics:
+            ev = evaluate_policy(
+                scene, env_cfg, learner.policy_net, state.policy_params,
+                jax.random.PRNGKey(i), tcfg.eval_route,
+                max_steps=env_cfg.max_steps,
+            )
+            eval_metrics = {
+                "eval/reward": float(ev["reward"][0]),
+                "eval/length": float(ev["length"][0]),
+                "eval/completed": float(ev["completed"][0]),
+            }
+        metrics = {**metrics, **eval_metrics}
+        writer.write(i, metrics)
+
+        steps_done = i * tcfg.num_steps
+        fps = steps_done / max(time.time() - t0, 1e-9)
+        print(
+            f"update {i}/{n_updates}  steps {steps_done}  fps {fps:.0f}  "
+            f"ep_rew {float(metrics['ep_reward_mean']):.3f}  "
+            f"eval_rew {eval_metrics['eval/reward']:.3f}  "
+            f"wd {float(metrics['disc/post_val_wd']):.4f}",
+            file=sys.stderr,
+        )
+        if ckpt_dir:
+            ckpt_mod.save_checkpoint(
+                f"{ckpt_dir}/update_{i}", state, time.time() - t0
+            )
+    writer.close()
+    return state, metrics
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="smoke",
+                   choices=list(make_presets().keys()))
+    p.add_argument("--params", default=None,
+                   help="reference-schema params_variable.json")
+    p.add_argument("--max-updates", type=int, default=None)
+    p.add_argument("--log-dir", default="runs/wdgail")
+    p.add_argument("--ckpt-dir", default=None)
+    args = p.parse_args(argv)
+
+    preset = make_presets()[args.preset]
+    tcfg = preset["train"]
+    if args.params:
+        tcfg = TrainConfig.from_json(args.params)
+    run(
+        preset["env"], preset["model"], tcfg, preset["scene"],
+        preset["demo_steps"], max_updates=args.max_updates,
+        log_dir=args.log_dir, ckpt_dir=args.ckpt_dir,
+    )
+
+
+if __name__ == "__main__":
+    main()

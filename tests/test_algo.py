@@ -1,0 +1,124 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gail_carla_tpu.config import EnvConfig, ModelConfig, TrainConfig
+from gail_carla_tpu.ops.gae import compute_returns
+
+
+def test_gae_matches_reference_loop():
+    """Numerical parity with tools/storage.py:37-50."""
+    rng = np.random.default_rng(0)
+    T, N = 17, 3
+    gail_r = rng.normal(size=(T, N)).astype(np.float32)
+    env_r = rng.normal(size=(T, N)).astype(np.float32)
+    values = rng.normal(size=(T + 1, N)).astype(np.float32)
+    masks = (rng.random((T + 1, N)) > 0.2).astype(np.float32)
+    gamma, lam = 0.99, 0.95
+
+    # reference loop
+    returns_ref = np.zeros((T, N), np.float32)
+    gae = np.zeros(N, np.float32)
+    for t in reversed(range(T)):
+        delta = (
+            1.0 * gail_r[t] + 0.0 * env_r[t]
+            + gamma * values[t + 1] * masks[t + 1] - values[t]
+        )
+        gae = delta + gamma * lam * masks[t + 1] * gae
+        returns_ref[t] = gae + values[t]
+
+    got = compute_returns(
+        jnp.asarray(gail_r), jnp.asarray(env_r), jnp.asarray(values),
+        jnp.asarray(masks), gamma, lam,
+    )
+    np.testing.assert_allclose(np.asarray(got), returns_ref, rtol=1e-5)
+
+
+def test_policy_shapes_and_distribution():
+    from gail_carla_tpu.models.policy import (
+        act, evaluate_actions, init_policy, normal_logprob,
+    )
+
+    cfg = ModelConfig()
+    net, params = init_policy(jax.random.PRNGKey(0), cfg, (3, 64, 64))
+    obs = jnp.zeros((5, 3, 64, 64))
+    metrics = jnp.tile(jnp.array([0.001, 0.002, 3.0, 4.0]), (5, 1))
+    value, action, logp = act(net, params, obs, metrics,
+                              jax.random.PRNGKey(1))
+    assert value.shape == (5,) and action.shape == (5, 2)
+    # with use_activation, deterministic actions obey tanh/sigmoid ranges
+    _, det, _ = act(net, params, obs, metrics, jax.random.PRNGKey(2),
+                    deterministic=True)
+    assert (np.abs(np.asarray(det[:, 0])) <= 1.0).all()
+    assert (np.asarray(det[:, 1]) >= 0.0).all()
+    # logprob agrees with the analytic diagonal normal
+    v2, lp2, ent = evaluate_actions(net, params, obs, metrics, action)
+    np.testing.assert_allclose(np.asarray(lp2), np.asarray(logp), rtol=1e-5)
+    mean_lp = normal_logprob(det, det, jnp.tile(jnp.array([-1.4, -3.2]),
+                                                (5, 1)))
+    expected = -0.5 * (2 * np.log(2 * np.pi)) + 1.4 + 3.2
+    np.testing.assert_allclose(np.asarray(mean_lp), expected, rtol=1e-5)
+
+
+def test_discriminator_reward_positive():
+    from gail_carla_tpu.models.discriminator import (
+        init_discriminator, predict_reward,
+    )
+
+    cfg = ModelConfig()
+    net, params = init_discriminator(jax.random.PRNGKey(0), cfg, (3, 64, 64))
+    r = predict_reward(
+        net, params, jnp.zeros((4, 3, 64, 64)),
+        jnp.zeros((4, 4)), jnp.zeros((4, 2)),
+    )
+    assert r.shape == (4,)
+    assert (np.asarray(r) > 0).all()  # softplus is strictly positive
+
+
+@pytest.mark.slow
+def test_wdgail_update_end_to_end():
+    """One full fused WDGAIL update at toy scale: rollout + disc (warm-up
+    epochs) + relabel + GAE + PPO all inside one jit."""
+    from gail_carla_tpu.algo.buffers import build_expert_buffer
+    from gail_carla_tpu.algo.expert import generate_demos
+    from gail_carla_tpu.algo.learner import WDGAILLearner
+    from gail_carla_tpu.scene.scene import make_benchmark_scene
+
+    scene = make_benchmark_scene(n_routes=2, nx=3, ny=3, block=80.0,
+                                 min_length=150.0)
+    env_cfg = EnvConfig(train=True, bev_width=64)
+    model_cfg = ModelConfig(conv_channels=(8, 16), hidden_size=32,
+                            head_size=16, disc_hidden=16, dtype="float32")
+    tcfg = TrainConfig(
+        n_envs=2, num_steps=64, mini_batch_size=16, ppo_epoch=2,
+        gail_batch_size=16, gail_pre_epoch=2, gail_epoch=1, gail_thre=2,
+        routes=(0, 1), bcgail=True, gail_gamma=0.5, decay=0.9,
+    )
+
+    demos = generate_demos(
+        scene, EnvConfig(train=False, bev_width=64),
+        jax.random.PRNGKey(0), jnp.arange(2, dtype=jnp.int32),
+        n_steps=900, with_noise=False,
+    )
+    expert = build_expert_buffer(scene, env_cfg, demos, size=256)
+
+    learner = WDGAILLearner(scene, env_cfg, model_cfg, tcfg, expert)
+    state = learner.init_state()
+    state, metrics = learner.update(state)
+
+    assert int(state.update_i) == 1
+    for key in ("ppo/value_loss", "ppo/action_loss", "ppo/bc_loss",
+                "disc/dis_loss", "disc/dis_gp", "disc/pre_val_wd",
+                "disc/post_val_wd", "gail_reward_mean"):
+        v = float(metrics[key])
+        assert np.isfinite(v), f"{key} not finite"
+    assert float(metrics["gail_reward_mean"]) > 0.0
+    # gail_gamma decayed
+    assert abs(float(state.gail_gamma) - 0.5 * 0.9) < 1e-6
+
+    # second update reuses the compiled program and keeps everything finite
+    state, metrics2 = learner.update(state)
+    assert np.isfinite(float(metrics2["ppo/action_loss"]))
+    leaves = jax.tree.leaves(state.policy_params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)

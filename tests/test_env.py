@@ -146,7 +146,7 @@ def test_render_bev_basics(scene):
                                     jnp.zeros((1,), jnp.int32))
     r0 = jax.tree.map(lambda a: a[0], render)
     img = np.asarray(
-        render_bev(scene, cfg, r0.xy, r0.yaw, r0.route_id, r0.s_now)
+        render_bev(scene, cfg, r0.xy, r0.yaw, r0.route_id, r0.head)
     )
     assert img.shape == (3, 192, 192)
     assert img.min() >= 0.0 and img.max() <= 1.0
