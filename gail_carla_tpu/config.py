@@ -32,6 +32,16 @@ class EnvConfig:
     # --- route / task ---
     n_routes: int = 10
     random_restart_prob: float = 0.1   # ego_vehicle_handler.py:62
+    # --- reward / terminal handler selection (carla_env.py:63-72 picks
+    #     valeo_action + leaderboard; training optimises delta-completion) ---
+    reward_mode: str = "delta_completion"   # or "valeo"
+    terminal_mode: str = "leaderboard"      # "valeo", "valeo_nodetpx",
+                                            # "leaderboard_dagger"
+    exploration_suggest: bool = True        # valeo.py:17
+    stuck_steps: int = 100                  # valeo.py:26
+    lat_dist_thresh: float = 3.5            # valeo.py:31
+    compute_valeo_reward: bool = False      # emit valeo reward in info even
+                                            # when training on delta-completion
     # --- criteria thresholds ---
     blocked_speed: float = 0.1         # criteria/blocked.py:6
     blocked_time: float = 90.0         # criteria/blocked.py:6

@@ -75,8 +75,9 @@ def capsule_min_dist2(px, seg_ab):
 
 
 def fetch_cell(scene: StaticScene, xy):
-    """One env's (road_segs (Mr,4), lane_segs (Ml,4), lane_val (Ml,)) via
-    contiguous dynamic_slice — the gather-free spatial hash lookup."""
+    """One env's (road_segs (Mr,4), road_flag (Mr,), lane_segs (Ml,4),
+    lane_val (Ml,)) via contiguous dynamic_slice — the gather-free spatial
+    hash lookup."""
     gy, gx = scene.cell_road.shape[:2]
     cell = jnp.floor((xy - scene.cell_grid_lo) / scene.cell_size).astype(
         jnp.int32
@@ -88,13 +89,16 @@ def fetch_cell(scene: StaticScene, xy):
     road = jax.lax.dynamic_slice(
         scene.cell_road, (cy, cx, 0, 0), (1, 1, mr, 4)
     )[0, 0]
+    road_flag = jax.lax.dynamic_slice(
+        scene.cell_road_flag, (cy, cx, 0), (1, 1, mr)
+    )[0, 0]
     lane = jax.lax.dynamic_slice(
         scene.cell_lane, (cy, cx, 0, 0), (1, 1, ml, 4)
     )[0, 0]
     lane_val = jax.lax.dynamic_slice(
         scene.cell_lane_val, (cy, cx, 0), (1, 1, ml)
     )[0, 0]
-    return road, lane, lane_val
+    return road, road_flag, lane, lane_val
 
 
 def route_window_segs(scene: StaticScene, route_id, head):
@@ -121,7 +125,7 @@ def render_bev(
     ToTensor'd in carla_env.py:102-138 / wdgail.py:221-236)."""
     w = cfg.bev_width
     px = pixel_world_coords(cfg, xy, yaw)
-    road_segs, lane_segs, lane_val = fetch_cell(scene, xy)
+    road_segs, _, lane_segs, lane_val = fetch_cell(scene, xy)
     route_segs = route_window_segs(scene, route_id, head)
 
     road_d2 = capsule_min_dist2(px, road_segs)

@@ -50,6 +50,7 @@ class StaticScene:
     # --- spatial-hash segment tables (the "map" at runtime) ---
     cell_grid_lo: jnp.ndarray  # (2,) f32
     cell_road: jnp.ndarray     # (Gy, Gx, Mr, 4) f32
+    cell_road_flag: jnp.ndarray  # (Gy, Gx, Mr) f32, 1 = junction connector
     cell_lane: jnp.ndarray     # (Gy, Gx, Ml, 4) f32
     cell_lane_val: jnp.ndarray  # (Gy, Gx, Ml) f32 (255 solid / 120 broken)
 
@@ -169,6 +170,7 @@ def build_scene(
         plan_n=jnp.asarray(plan_n),
         cell_grid_lo=jnp.asarray(table.grid_lo),
         cell_road=jnp.asarray(table.road),
+        cell_road_flag=jnp.asarray(table.road_flag),
         cell_lane=jnp.asarray(table.lane),
         cell_lane_val=jnp.asarray(table.lane_val),
         cell_size=table.cell_size,

@@ -53,6 +53,7 @@ def _chordify(pts: np.ndarray, max_err: float = 0.35) -> np.ndarray:
 @dataclasses.dataclass
 class SegmentSoup:
     road_ab: np.ndarray    # (Sr, 4) x0 y0 x1 y1 — lane-corridor centrelines
+    road_junction: np.ndarray  # (Sr,) 1.0 = junction connector segment
     lane_ab: np.ndarray    # (Sl, 4) — lane-marking lines
     lane_val: np.ndarray   # (Sl,) 255 solid / 120 broken (chauffeurnet
                            # mask values, chauffeurnet.py:188-189)
@@ -60,6 +61,7 @@ class SegmentSoup:
 
 def extract_segments(graph: LaneGraph, max_err: float = 0.35) -> SegmentSoup:
     road: List[np.ndarray] = []
+    road_junction: List[float] = []
     lane: List[np.ndarray] = []
     lane_val: List[float] = []
     half = graph.lane_width / 2.0
@@ -67,6 +69,7 @@ def extract_segments(graph: LaneGraph, max_err: float = 0.35) -> SegmentSoup:
         ch = _chordify(e.pts, max_err)
         ab = np.concatenate([ch[:-1], ch[1:]], axis=1)  # (M, 4)
         road.append(ab)
+        road_junction.extend([1.0 if e.is_junction else 0.0] * len(ab))
         if not e.is_junction:
             d = ch[1:] - ch[:-1]
             n = d / (np.linalg.norm(d, axis=1, keepdims=True) + 1e-9)
@@ -80,6 +83,7 @@ def extract_segments(graph: LaneGraph, max_err: float = 0.35) -> SegmentSoup:
                 lane_val.extend([val] * len(a))
     return SegmentSoup(
         road_ab=np.concatenate(road, axis=0).astype(np.float32),
+        road_junction=np.asarray(road_junction, np.float32),
         lane_ab=np.concatenate(lane, axis=0).astype(np.float32),
         lane_val=np.asarray(lane_val, np.float32),
     )
@@ -103,6 +107,7 @@ class CellTable:
     grid_lo: np.ndarray      # (2,)
     cell_size: float
     road: np.ndarray         # (Gy, Gx, Mr, 4)
+    road_flag: np.ndarray    # (Gy, Gx, Mr) 1.0 = junction connector
     lane: np.ndarray         # (Gy, Gx, Ml, 4)
     lane_val: np.ndarray     # (Gy, Gx, Ml)
 
@@ -139,17 +144,19 @@ def build_cell_table(
     lane_cells, ml = bucket(soup.lane_ab)
 
     road = np.full((gy, gx, mr, 4), FAR, np.float32)
+    road_flag = np.zeros((gy, gx, mr), np.float32)
     lane = np.full((gy, gx, ml, 4), FAR, np.float32)
     lane_val = np.zeros((gy, gx, ml), np.float32)
     for cy in range(gy):
         for cx in range(gx):
             ids = road_cells[cy * gx + cx]
             road[cy, cx, : len(ids)] = soup.road_ab[ids]
+            road_flag[cy, cx, : len(ids)] = soup.road_junction[ids]
             ids = lane_cells[cy * gx + cx]
             lane[cy, cx, : len(ids)] = soup.lane_ab[ids]
             lane_val[cy, cx, : len(ids)] = soup.lane_val[ids]
 
     return CellTable(
         grid_lo=lo.astype(np.float32), cell_size=float(cell_size),
-        road=road, lane=lane, lane_val=lane_val,
+        road=road, road_flag=road_flag, lane=lane, lane_val=lane_val,
     )

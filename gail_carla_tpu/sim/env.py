@@ -126,10 +126,22 @@ def reset_env(
         out_route_dist=z,
         stop_target=jnp.full((), -1, jnp.int32),
         stop_completed=jnp.zeros((), bool),
+        stop_affected=jnp.zeros((), bool),
         encountered_light=jnp.full((), -1, jnp.int32),
-        ran_light=jnp.zeros((), bool),
-        ran_stop=jnp.zeros((), bool),
-        n_collisions=zi,
+        last_red_light=jnp.full((), -1, jnp.int32),
+        speed_q=jnp.zeros((10,)),
+        speed_q_len=zi,
+        stuck_counter=zi,
+        last_lat_dist=z,
+        n_col_static=zi,
+        n_col_vehicle=zi,
+        n_col_walker=zi,
+        n_red=zi,
+        n_stop=zi,
+        n_enc_light=zi,
+        n_enc_stop=zi,
+        outside_lane_m=z,
+        wrong_lane_m=z,
         step=zi,
         episode_reward=z,
         last_total=z,
@@ -232,10 +244,74 @@ def _static_collision(scene, params: VehicleParams, ego: VehicleState):
     corners = ego.xy[None, :] + jnp.stack(
         [f + r, f - r, -f + r, -f - r], axis=0
     )
-    road_segs, _, _ = fetch_cell(scene, ego.xy)
+    road_segs, _, _, _ = fetch_cell(scene, ego.xy)
     d2 = capsule_min_dist2(corners, road_segs)
     on_road = d2 <= scene.half_lane**2
     return ~jnp.any(on_road)
+
+
+def _route_transform(scene, rid, head, last_head):
+    """task_vehicle.get_route_transform (task_vehicle.py:217-227): pose of
+    the last passed route point, heading toward the current head."""
+    loc0 = scene.route_xy[rid, last_head]
+    loc1 = scene.route_xy[rid, head]
+    d = loc1 - loc0
+    dist = jnp.linalg.norm(d)
+    yaw = jnp.where(
+        dist < 0.1,
+        scene.route_yaw[rid, head],
+        jnp.arctan2(d[1], d[0]),
+    )
+    return loc0, yaw
+
+
+def _dynamic_collisions(traffic, params: VehicleParams, ego: VehicleState):
+    """Ego vs zombie vehicles (OBB-OBB separating axis) and vs walkers
+    (inflated containment). Replaces the CARLA collision sensor's dynamic
+    cases (criteria/collision.py:49-112 classifies by actor type)."""
+    from gail_carla_tpu.sim.transforms import vec_global_to_ref
+
+    K = traffic.veh.yaw.shape[0]
+    W = traffic.walker_xy.shape[0]
+    ez = jnp.zeros((), bool)
+
+    col_veh = ez
+    if K > 0:
+        he = jnp.asarray([params.half_length, params.half_width])
+
+        def axes(yaw):
+            c, s = jnp.cos(yaw), jnp.sin(yaw)
+            return jnp.stack([jnp.stack([c, s]), jnp.stack([-s, c])])
+
+        ego_ax = axes(ego.yaw)                   # (2, 2)
+        npc_ax = jax.vmap(axes)(traffic.veh.yaw)  # (K, 2, 2)
+        d = traffic.veh.xy - ego.xy[None, :]      # (K, 2)
+        all_ax = jnp.concatenate(
+            [jnp.broadcast_to(ego_ax[None], (K, 2, 2)), npc_ax], axis=1
+        )                                         # (K, 4, 2)
+        proj_d = jnp.abs(jnp.einsum("kac,kc->ka", all_ax, d))
+        r_ego = jnp.abs(
+            jnp.einsum("kac,bc->kab", all_ax, ego_ax)
+        ) @ he
+        r_npc = jnp.einsum(
+            "kab,b->ka", jnp.abs(jnp.einsum("kac,kbc->kab", all_ax, npc_ax)),
+            he,
+        )
+        separated = jnp.any(proj_d > r_ego + r_npc, axis=1)
+        col_veh = jnp.any(~separated)
+
+    col_ped = ez
+    if W > 0:
+        local = vec_global_to_ref(
+            traffic.walker_xy - ego.xy[None, :], ego.yaw
+        )
+        inside = (
+            (jnp.abs(local[:, 0]) < params.half_length + 0.4)
+            & (jnp.abs(local[:, 1]) < params.half_width + 0.4)
+        )
+        col_ped = jnp.any(inside)
+
+    return col_veh, col_ped
 
 
 def step_env(
@@ -249,6 +325,12 @@ def step_env(
     ``carla_env.py:120-126``. Auto-resets on done and returns the *new*
     episode's observation with the finished episode's reward/done/info,
     mirroring the SubprocVecEnv worker."""
+    from gail_carla_tpu.ops.bev import fetch_cell
+    from gail_carla_tpu.sim import criteria as crit
+    from gail_carla_tpu.sim import rewards as rew
+    from gail_carla_tpu.sim import signals
+    from gail_carla_tpu.sim import terminals as term
+
     steer, throttle = action[0], action[1]
     ego = step_vehicle(state.ego, steer, throttle, 0.0, cfg.dt, params)
 
@@ -257,9 +339,11 @@ def step_env(
     n = scene.route_n[rid]
     route_completed = scene.route_s[rid, head] - state.s0
     total = route_completed / state.route_len_ep
-
-    # --- criteria ---
+    step_count = state.step + 1
+    sim_time = step_count.astype(jnp.float32) * cfg.dt
     speed = jnp.abs(ego.speed)
+
+    # --- core criteria (blocked / deviation / completion / timeout) ---
     blocked_elapsed = jnp.where(
         speed < cfg.blocked_speed, state.blocked_elapsed + cfg.dt, 0.0
     )
@@ -278,18 +362,130 @@ def step_env(
     c_route = (total > cfg.completion_pct) & (
         jnp.linalg.norm(ego.xy - end_xy) < cfg.completion_dist
     )
-
-    c_collision = _static_collision(scene, params, ego)
-    n_collisions = state.n_collisions + c_collision.astype(jnp.int32)
-
-    step_count = state.step + 1
     c_timeout = step_count >= cfg.max_steps
 
-    done = c_route | c_blocked | c_deviation | c_collision | c_timeout
+    # --- collisions ---
+    c_collision_static = _static_collision(scene, params, ego)
+    c_col_veh, c_col_ped = _dynamic_collisions(state.traffic, params, ego)
+    c_collision = c_collision_static | c_col_veh | c_col_ped
 
-    # --- reward: Δ route completion (carla_env.py:148-153) ---
-    reward = total - state.last_total
+    # --- signal criteria ---
+    tl_states = signals.light_states(scene, sim_time)
+    last_red_light, ran_red = crit.run_red_light(
+        scene, params, ego, tl_states, state.last_red_light
+    )
+    route_pts = jax.lax.dynamic_slice(
+        scene.route_xy, (rid, head, 0), (1, 20, 2)
+    )[0]
+    ss_state, enc_stop, ran_stop = crit.run_stop_sign(
+        scene, ego, route_pts, scene.route_yaw[rid, head],
+        crit.StopSignState(
+            state.stop_target, state.stop_completed, state.stop_affected
+        ),
+    )
+    encountered_light, enc_light = crit.encounter_light(
+        scene, ego, tl_states, state.encountered_light
+    )
+    road_segs, road_flag, _, _ = fetch_cell(scene, ego.xy)
+    outside_lane, wrong_lane = crit.outside_route_lane(
+        scene, ego, road_segs, road_flag
+    )
+
+    # --- valeo terminal state (terminal/valeo.py:37-72) ---
+    light_state, light_loc, light_idx = signals.affecting_light(
+        scene, ego.xy, ego.yaw, tl_states,
+        offset=-0.8 * params.half_length, dist_threshold=18.0,
+    )
+    veh_found, _ = rew.hazard_vehicle(state.traffic, ego.xy, ego.yaw)
+    ped_found, _ = rew.hazard_walker(state.traffic, ego.xy, ego.yaw)
+    is_free_road = (~veh_found) & (~ped_found) & (
+        (light_idx < 0) | (light_state == signals.GREEN)
+    )
+    speed_q = jnp.roll(state.speed_q, 1).at[0].set(speed)
+    speed_q_len = jnp.minimum(state.speed_q_len + 1, 10)
+    speed_mean = jnp.sum(speed_q) / jnp.maximum(speed_q_len, 1)
+    stuck_counter = jnp.where(
+        speed_mean >= 1.0, 0,
+        state.stuck_counter + (is_free_road & (speed_mean < 1.0)),
+    ).astype(jnp.int32)
+    c_stuck = stuck_counter >= cfg.stuck_steps
+
+    route_tf_xy, route_tf_yaw = _route_transform(
+        scene, rid, head, last_head
+    )
+    d_vec = ego.xy - route_tf_xy
+    right = jnp.stack([-jnp.sin(route_tf_yaw), jnp.cos(route_tf_yaw)])
+    lat_dist = jnp.abs(jnp.sum(right * d_vec))
+    thresh_lat = jnp.where(
+        lat_dist - state.last_lat_dist > 0.8,
+        lat_dist + 0.5,
+        jnp.maximum(cfg.lat_dist_thresh, state.last_lat_dist),
+    )
+    c_lat_dist = lat_dist > thresh_lat + 1e-2
+
+    # --- terminal handler ---
+    flags = term.CriteriaFlags(
+        c_route=c_route, c_blocked=c_blocked, c_deviation=c_deviation,
+        c_collision=c_collision, c_run_red=ran_red, c_run_stop=ran_stop,
+        c_collision_px=c_col_ped, c_stuck=c_stuck, c_lat_dist=c_lat_dist,
+        timeout=c_timeout,
+    )
+    tout = term.compute_terminal(
+        cfg.terminal_mode, flags, speed, cfg.exploration_suggest
+    )
+    done = tout.done
+
+    # --- infraction counters (for leaderboard episode_stat) ---
+    n_col_static = state.n_col_static + c_collision_static
+    n_col_vehicle = state.n_col_vehicle + c_col_veh
+    n_col_walker = state.n_col_walker + c_col_ped
+    n_red = state.n_red + ran_red
+    n_stop = state.n_stop + ran_stop
+    n_enc_light = state.n_enc_light + enc_light
+    n_enc_stop = state.n_enc_stop + enc_stop
+    outside_lane_m = state.outside_lane_m + jnp.where(
+        outside_lane, dist_traveled, 0.0
+    )
+    wrong_lane_m = state.wrong_lane_m + jnp.where(
+        wrong_lane, dist_traveled, 0.0
+    )
+
+    # --- reward ---
+    delta_reward = total - state.last_total
+    if cfg.reward_mode == "valeo" or cfg.compute_valeo_reward:
+        ss_active = (ss_state.target >= 0) & (~ss_state.completed)
+        tgt = jnp.maximum(ss_state.target, 0)
+        stop_dist = jnp.linalg.norm(scene.ss_center[tgt] - ego.xy)
+        valeo_reward, desired_speed = rew.valeo_action_reward(
+            state.traffic,
+            rew.ValeoInputs(
+                ego_xy=ego.xy, ego_yaw=ego.yaw, ego_speed=speed,
+                steer=steer, last_steer=state.last_steer,
+                route_tf_xy=route_tf_xy, route_tf_yaw=route_tf_yaw,
+                light_state=light_state,
+                light_dist=jnp.linalg.norm(light_loc),
+                stop_dist=stop_dist, has_stop=ss_active,
+                terminal_reward=tout.terminal_reward,
+            ),
+        )
+    else:
+        valeo_reward = jnp.zeros(())
+        desired_speed = jnp.zeros(())
+    reward = (
+        valeo_reward if cfg.reward_mode == "valeo" else delta_reward
+    )
     episode_reward = state.episode_reward + reward
+
+    # --- leaderboard episode stats (ego_vehicle_handler.py:208-248) ---
+    score_route = jnp.clip(total, 0.0, 1.0) * 100.0
+    score_penalty = (
+        0.50 ** n_col_walker
+        * 0.60 ** n_col_vehicle
+        * 0.65 ** n_col_static
+        * 0.70 ** n_red
+        * 0.80 ** n_stop
+    )
+    km = jnp.maximum(route_completed, 1.0) / 1000.0
 
     # --- curriculum carry (persists through the auto-reset) ---
     resume_idx = jnp.where(done, head, state.resume_idx)
@@ -302,7 +498,24 @@ def step_env(
         last_head=last_head,
         blocked_elapsed=blocked_elapsed,
         out_route_dist=out_route_dist,
-        n_collisions=n_collisions,
+        stop_target=ss_state.target,
+        stop_completed=ss_state.completed,
+        stop_affected=ss_state.affected,
+        encountered_light=encountered_light,
+        last_red_light=last_red_light,
+        speed_q=speed_q,
+        speed_q_len=speed_q_len,
+        stuck_counter=stuck_counter,
+        last_lat_dist=lat_dist,
+        n_col_static=n_col_static,
+        n_col_vehicle=n_col_vehicle,
+        n_col_walker=n_col_walker,
+        n_red=n_red,
+        n_stop=n_stop,
+        n_enc_light=n_enc_light,
+        n_enc_stop=n_enc_stop,
+        outside_lane_m=outside_lane_m,
+        wrong_lane_m=wrong_lane_m,
         step=step_count,
         episode_reward=episode_reward,
         last_total=total,
@@ -325,12 +538,38 @@ def step_env(
         "blocked": c_blocked,
         "route_deviation": c_deviation,
         "collision": c_collision,
+        "collision_vehicle": c_col_veh,
+        "collision_walker": c_col_ped,
+        "run_red_light": ran_red,
+        "run_stop_sign": ran_stop,
+        "encounter_light": enc_light,
+        "encounter_stop": enc_stop,
+        "outside_lane": outside_lane,
+        "wrong_lane": wrong_lane,
         "timeout": c_timeout,
         "episode_reward": episode_reward,
         "episode_length": step_count,
         "route_id": rid,
         "route_completed_in_m": route_completed,
         "route_length_in_m": state.route_len_ep,
+        "valeo_reward": valeo_reward,
+        "desired_speed": desired_speed,
+        "terminal_reward": tout.terminal_reward,
+        "exploration_suggest_steps": tout.suggest_steps,
+        "exploration_suggest_go": tout.suggest_go,
+        "exploration_suggest_stop": tout.suggest_stop,
+        "exploration_suggest_turn": tout.suggest_turn,
+        # leaderboard episode_stat (valid at done)
+        "score_route": score_route,
+        "score_penalty": score_penalty * 100.0,
+        "score_composed": score_route * score_penalty,
+        "n_collisions_layout": n_col_static,
+        "n_collisions_vehicle": n_col_vehicle,
+        "n_collisions_walker": n_col_walker,
+        "n_red_light": n_red,
+        "n_stop_sign": n_stop,
+        "red_light_per_km": n_red.astype(jnp.float32) / km,
+        "stop_sign_per_km": n_stop.astype(jnp.float32) / km,
     }
     return next_state, StepOutput(
         metrics=metrics, render=render,

@@ -48,10 +48,24 @@ class WorldState:
     out_route_dist: jnp.ndarray    # () f32 metres travelled while off-route
     stop_target: jnp.ndarray       # () i32 active stop sign (-1 none)
     stop_completed: jnp.ndarray    # () bool stop satisfied for stop_target
+    stop_affected: jnp.ndarray     # () bool entered the trigger volume
     encountered_light: jnp.ndarray  # () i32 last encountered light (-1 none)
-    ran_light: jnp.ndarray         # () bool a red light was run this episode
-    ran_stop: jnp.ndarray          # () bool a stop sign was run this episode
-    n_collisions: jnp.ndarray      # () i32
+    last_red_light: jnp.ndarray    # () i32 last light already scored (-1)
+    # valeo terminal state (terminal/valeo.py:26-33)
+    speed_q: jnp.ndarray           # (10,) f32 recent speeds ring
+    speed_q_len: jnp.ndarray       # () i32
+    stuck_counter: jnp.ndarray     # () i32
+    last_lat_dist: jnp.ndarray     # () f32
+    # --- episode infraction counters (ego_vehicle_handler.py:96-109) ---
+    n_col_static: jnp.ndarray      # () i32 collisions_layout
+    n_col_vehicle: jnp.ndarray     # () i32
+    n_col_walker: jnp.ndarray      # () i32
+    n_red: jnp.ndarray             # () i32 red lights run
+    n_stop: jnp.ndarray            # () i32 stop signs run
+    n_enc_light: jnp.ndarray      # () i32 lights encountered
+    n_enc_stop: jnp.ndarray        # () i32 stop signs encountered
+    outside_lane_m: jnp.ndarray    # () f32 metres outside driving lanes
+    wrong_lane_m: jnp.ndarray      # () f32 metres in a wrong lane
     # --- episode bookkeeping ---
     step: jnp.ndarray              # () i32
     episode_reward: jnp.ndarray    # () f32
