@@ -16,67 +16,17 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from flax import struct
 
-from gail_carla_tpu.config import EnvConfig
+from gail_carla_tpu.agents.controllers import (  # noqa: F401 (re-exports)
+    PID_WINDOW, AutopilotState, PIDState, make_autopilot, make_pid,
+    pid_step,
+)
 from gail_carla_tpu.scene.scene import StaticScene
 from gail_carla_tpu.sim.state import WorldState
 from gail_carla_tpu.sim.transforms import loc_global_to_ref
 
-PID_WINDOW = 30  # controller.py:5
-
-
-@struct.dataclass
-class PIDState:
-    """Ring buffer equivalent of controller.py's deque(maxlen=30). Unused
-    slots are zero, so summing the whole buffer equals summing the window."""
-
-    buf: jnp.ndarray    # (PID_WINDOW,)
-    idx: jnp.ndarray    # () i32
-    count: jnp.ndarray  # () i32
-    prev: jnp.ndarray   # () f32 previous error
-
-
-def make_pid() -> PIDState:
-    return PIDState(
-        buf=jnp.zeros((PID_WINDOW,)),
-        idx=jnp.zeros((), jnp.int32),
-        count=jnp.zeros((), jnp.int32),
-        prev=jnp.zeros(()),
-    )
-
-
-def pid_step(state: PIDState, error, kp, ki, kd, dt: float = 0.1):
-    """controller.py:14-29: integral = window sum * dt, derivative from the
-    last two samples, both zero until two samples exist."""
-    buf = state.buf.at[state.idx].set(error)
-    count = jnp.minimum(state.count + 1, PID_WINDOW)
-    have2 = count >= 2
-    integral = jnp.where(have2, jnp.sum(buf) * dt, 0.0)
-    deriv = jnp.where(have2, (error - state.prev) / dt, 0.0)
-    out = kp * error + ki * integral + kd * deriv
-    new = PIDState(
-        buf=buf, idx=(state.idx + 1) % PID_WINDOW, count=count, prev=error
-    )
-    return new, out
-
-
-@struct.dataclass
-class AutopilotState:
-    turn_pid: PIDState
-    speed_pid: PIDState
-    last_command: jnp.ndarray   # () i32, local_planner.py:37
-
-
-def make_autopilot() -> AutopilotState:
-    return AutopilotState(
-        turn_pid=make_pid(),
-        speed_pid=make_pid(),
-        last_command=jnp.full((), 4, jnp.int32),
-    )
-
-
 # local_planner.py defaults
+
 LON_PID = (0.5, 0.025, 0.1)
 LAT_PID = (0.75, 0.05, 0.0)
 THRESHOLD_BEFORE = 7.5
@@ -85,29 +35,27 @@ MAX_SKIP = 20
 TARGET_SPEED = 6.0  # m/s, carla_exp.py:49
 
 
-def autopilot_act(
-    scene: StaticScene,
+def local_planner_act(
+    route_xy,
+    route_cmd,
     ap: AutopilotState,
-    world: WorldState,
-    target_speed: float = TARGET_SPEED,
+    ego,
+    rid,
+    head,
+    target_speed=TARGET_SPEED,
 ):
-    """One expert decision: (steer, throttle) for the current world state.
-
-    local_planner.run_step over the truncated dense route: scan the next 20
-    route points; each point within threshold becomes the new target and
-    updates last_command *sequentially* (the threshold for later points
-    depends on earlier updates, so this is a lax.scan, not a reduction).
-    """
-    rid, head = world.route_id, world.head
-    ego = world.ego
-
+    """One LocalPlanner decision over any padded route family (ego routes or
+    NPC patrols): scan the next 20 route points; each point within threshold
+    becomes the new target and updates last_command *sequentially* (the
+    threshold for later points depends on earlier updates, so this is a
+    lax.scan, not a reduction)."""
     offs = jnp.arange(MAX_SKIP)
     # contiguous windows (route rows pad with the final point past n-1)
     pts = jax.lax.dynamic_slice(
-        scene.route_xy, (rid, head, 0), (1, MAX_SKIP, 2)
+        route_xy, (rid, head, 0), (1, MAX_SKIP, 2)
     )[0]                                          # (20, 2)
     opts = jax.lax.dynamic_slice(
-        scene.route_cmd, (rid, head), (1, MAX_SKIP)
+        route_cmd, (rid, head), (1, MAX_SKIP)
     )[0]                                          # (20,)
     dists = jnp.linalg.norm(pts - ego.xy[None, :], axis=-1)
 
@@ -152,6 +100,20 @@ def autopilot_act(
             turn_pid=turn_pid, speed_pid=speed_pid, last_command=last_cmd
         ),
         action,
+    )
+
+
+def autopilot_act(
+    scene: StaticScene,
+    ap: AutopilotState,
+    world: WorldState,
+    target_speed: float = TARGET_SPEED,
+):
+    """The expert (BasicAgent, carla_exp.py:49): LocalPlanner over the ego's
+    truncated dense route."""
+    return local_planner_act(
+        scene.route_xy, scene.route_cmd, ap, world.ego,
+        world.route_id, world.head, target_speed,
     )
 
 

@@ -71,9 +71,75 @@ class StaticScene:
     # --- spawn points for traffic ---
     spawn: jnp.ndarray = None       # (Q, 3) f32 x, y, yaw
 
+    # --- NPC patrol routes (zombie-vehicle lanes; see sim/traffic.py) ---
+    patrol_xy: jnp.ndarray = None   # (P, Lp, 2) f32
+    patrol_yaw: jnp.ndarray = None  # (P, Lp) f32
+    patrol_cmd: jnp.ndarray = None  # (P, Lp) i32
+    patrol_n: jnp.ndarray = None    # (P,) i32
+
     @property
     def n_routes(self) -> int:
         return self.route_xy.shape[0]
+
+    @property
+    def n_patrols(self) -> int:
+        return self.patrol_xy.shape[0]
+
+
+def _build_patrols(
+    graph: LaneGraph,
+    n_patrols: int,
+    length_m: float = 400.0,
+    seed: int = 99,
+    pad: int = 128,
+):
+    """Random lane-graph walks for zombie-vehicle traffic — the behavioural
+    stand-in for CARLA's TrafficManager autopilot routes
+    (zombie_vehicle_handler.py:8-83 just hands vehicles to the TM)."""
+    rng = np.random.default_rng(seed)
+    spawns = graph.spawn_points(spacing=35.0)
+    patrols = []
+    for i in range(n_patrols):
+        start = spawns[int(rng.integers(len(spawns)))]
+        from gail_carla_tpu.scene.town import nearest_edge_point
+
+        ek, idx = nearest_edge_point(graph, start[:2])
+        pts = [graph.edges[ek].pts[idx:]]
+        cmds = [np.full(len(pts[0]), int(graph.edges[ek].option), np.int32)]
+        total = 0.0
+        node = graph.edges[ek].dst
+        while total < length_m:
+            outs = graph.adjacency.get(node, [])
+            if not outs:
+                break
+            ek = int(rng.choice(outs))
+            e = graph.edges[ek]
+            pts.append(e.pts[1:])
+            cmds.append(np.full(len(e.pts) - 1, int(e.option), np.int32))
+            total += e.length
+            node = e.dst
+        xy = np.concatenate(pts, axis=0)
+        cmd = np.concatenate(cmds, axis=0)
+        d = np.diff(xy, axis=0)
+        yaw = np.arctan2(d[:, 1], d[:, 0])
+        yaw = np.concatenate([yaw, yaw[-1:]])
+        patrols.append((xy, yaw, cmd))
+
+    L = _pad_to(max(len(p[0]) for p in patrols) + 32, pad)
+    P = len(patrols)
+    patrol_xy = np.zeros((P, L, 2), np.float32)
+    patrol_yaw = np.zeros((P, L), np.float32)
+    patrol_cmd = np.full((P, L), 4, np.int32)
+    patrol_n = np.zeros((P,), np.int32)
+    for i, (xy, yaw, cmd) in enumerate(patrols):
+        n = len(xy)
+        patrol_xy[i, :n] = xy
+        patrol_xy[i, n:] = xy[-1]
+        patrol_yaw[i, :n] = yaw
+        patrol_yaw[i, n:] = yaw[-1]
+        patrol_cmd[i, :n] = cmd
+        patrol_n[i] = n
+    return patrol_xy, patrol_yaw, patrol_cmd, patrol_n
 
 
 def build_scene(
@@ -82,6 +148,7 @@ def build_scene(
     route_pts_pad: int = 256,
     plan_pts_pad: int = 32,
     cell_size: float = 32.0,
+    n_patrols: int = 32,
 ) -> StaticScene:
     dense = [trace_mod.trace_route(graph, r.waypoints) for r in route_defs]
 
@@ -157,6 +224,10 @@ def build_scene(
     if len(spawn) == 0:
         spawn = np.zeros((1, 3), np.float32)
 
+    patrol_xy, patrol_yaw, patrol_cmd, patrol_n = _build_patrols(
+        graph, n_patrols
+    )
+
     return StaticScene(
         route_xy=jnp.asarray(route_xy),
         route_yaw=jnp.asarray(route_yaw),
@@ -185,6 +256,10 @@ def build_scene(
         ss_extent=jnp.asarray(ss_extent),
         ss_n=len(sss),
         spawn=jnp.asarray(spawn),
+        patrol_xy=jnp.asarray(patrol_xy),
+        patrol_yaw=jnp.asarray(patrol_yaw),
+        patrol_cmd=jnp.asarray(patrol_cmd),
+        patrol_n=jnp.asarray(patrol_n),
     )
 
 

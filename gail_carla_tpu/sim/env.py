@@ -28,7 +28,8 @@ from gail_carla_tpu.scene.scene import StaticScene
 from gail_carla_tpu.sim.dynamics import (
     DEFAULT_VEHICLE, VehicleParams, VehicleState, step_vehicle,
 )
-from gail_carla_tpu.sim.state import WorldState, make_empty_traffic
+from gail_carla_tpu.sim.state import WorldState
+from gail_carla_tpu.sim.traffic import reset_traffic, step_traffic
 from gail_carla_tpu.sim.transforms import (
     cast_angle, location_to_gps, vec_global_to_ref,
 )
@@ -77,7 +78,7 @@ def reset_env(
     (ego_vehicle_handler.py:55-78): after completing the route (or in eval
     mode) restart at 0; otherwise with prob 0.1 restart at a random route
     point; otherwise resume from where the last episode ended."""
-    rng, k_restart, k_pos = jax.random.split(rng, 3)
+    rng, k_restart, k_pos, k_traffic = jax.random.split(rng, 4)
     n = scene.route_n[route_id]
     if resume_idx is None:
         resume_idx = jnp.zeros((), jnp.int32)
@@ -148,7 +149,7 @@ def reset_env(
         resume_idx=resume_idx.astype(jnp.int32),
         completed_last=completed_last,
         rng=rng,
-        traffic=make_empty_traffic(cfg.n_npc_vehicles, cfg.n_npc_walkers),
+        traffic=reset_traffic(scene, cfg, k_traffic, ego.xy),
     )
 
 
@@ -343,6 +344,14 @@ def step_env(
     sim_time = step_count.astype(jnp.float32) * cfg.dt
     speed = jnp.abs(ego.speed)
 
+    # --- background traffic tick (scenario_actor/zombie handlers run
+    #     before/with world.tick in carla_multi_agent_env.py:109-115) ---
+    rng_next, k_reset, k_npc = jax.random.split(state.rng, 3)
+    traffic = step_traffic(
+        scene, cfg, state.traffic, ego, sim_time, k_npc
+    )
+    state = state.replace(traffic=traffic)
+
     # --- core criteria (blocked / deviation / completion / timeout) ---
     blocked_elapsed = jnp.where(
         speed < cfg.blocked_speed, state.blocked_elapsed + cfg.dt, 0.0
@@ -523,7 +532,6 @@ def step_env(
         completed_last=completed_last,
     )
 
-    rng_next, k_reset = jax.random.split(state.rng)
     cont = cont.replace(rng=rng_next)
     fresh = reset_env(scene, cfg, k_reset, rid, resume_idx, completed_last)
     # done is a scalar, so jnp.where broadcasts against every leaf shape

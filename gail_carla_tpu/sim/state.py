@@ -12,22 +12,28 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from gail_carla_tpu.agents.controllers import AutopilotState, make_autopilot
 from gail_carla_tpu.sim.dynamics import VehicleState
 
 
 @struct.dataclass
 class TrafficState:
-    """Background actors (zombie vehicles/walkers). Shapes (K, ...) / (W, ...)
-    are static per config; K = 0 disables traffic."""
+    """Background actors. Shapes (K, ...) / (W, ...) are static per config;
+    K = 0 disables traffic. Zombie vehicles drive pre-compiled patrol routes
+    with the same LocalPlanner/PID stack as the expert (the reference hands
+    them to CARLA's TrafficManager, zombie_vehicle_handler.py:41-47; the
+    in-repo behavioural spec for scripted driving is the scenario-actor
+    BasicAgent, which is what we vmap here)."""
 
     veh: VehicleState              # (K,) batched vehicle states
-    veh_edge: jnp.ndarray          # (K,) i32 current lane-graph edge (as route row)
-    veh_s: jnp.ndarray             # (K,) f32 arc position on edge
-    veh_err_i: jnp.ndarray         # (K,) f32 speed PID integral
-    veh_err_prev: jnp.ndarray      # (K,) f32 speed PID last error
+    veh_patrol: jnp.ndarray        # (K,) i32 patrol route id
+    veh_head: jnp.ndarray          # (K,) i32 patrol cursor
+    veh_ap: AutopilotState         # (K,) LocalPlanner controller state
+    veh_target_speed: jnp.ndarray  # (K,) f32
     walker_xy: jnp.ndarray         # (W, 2)
+    walker_yaw: jnp.ndarray        # (W,)
     walker_goal: jnp.ndarray       # (W, 2)
-    walker_speed: jnp.ndarray      # (W,)
+    walker_speed: jnp.ndarray      # (W,) 1-2 m/s (zombie_walker_handler.py)
 
 
 @struct.dataclass
@@ -81,17 +87,21 @@ class WorldState:
 
 
 def make_empty_traffic(n_veh: int = 0, n_walkers: int = 0) -> TrafficState:
+    ap0 = make_autopilot()
     return TrafficState(
         veh=VehicleState(
             xy=jnp.zeros((n_veh, 2)),
             yaw=jnp.zeros((n_veh,)),
             speed=jnp.zeros((n_veh,)),
         ),
-        veh_edge=jnp.zeros((n_veh,), jnp.int32),
-        veh_s=jnp.zeros((n_veh,)),
-        veh_err_i=jnp.zeros((n_veh,)),
-        veh_err_prev=jnp.zeros((n_veh,)),
+        veh_patrol=jnp.zeros((n_veh,), jnp.int32),
+        veh_head=jnp.zeros((n_veh,), jnp.int32),
+        veh_ap=jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (n_veh,) + a.shape), ap0
+        ),
+        veh_target_speed=jnp.full((n_veh,), 5.5),
         walker_xy=jnp.zeros((n_walkers, 2)),
+        walker_yaw=jnp.zeros((n_walkers,)),
         walker_goal=jnp.zeros((n_walkers, 2)),
         walker_speed=jnp.ones((n_walkers,)),
     )

@@ -1,0 +1,266 @@
+"""Background traffic: zombie vehicles and walkers, fully on device.
+
+The reference spawns N vehicles at spawn points >= 10 m from the ego and
+hands them to CARLA's server-side TrafficManager (``carla_gym/core/
+zombie_vehicle/zombie_vehicle_handler.py:8-83``); walkers get a
+``controller.ai.walker`` with a random nav goal and speed 1-2 m/s
+(``zombie_walker_handler.py:7-98``). TPU-native equivalents:
+
+- vehicles: each drives a pre-compiled random lane-graph patrol
+  (scene.patrol_*) with the same LocalPlanner/PID stack as the expert, plus
+  the TrafficManager's observable behaviours — brake for a lead vehicle and
+  for red lights; the patrol loops by teleporting back to its start (the
+  reference also teleports zombies, zombie_vehicle.py:4-14);
+- walkers: straight-line goal seeking; a new random goal on arrival. (No
+  sidewalk navmesh here, so walkers roam near roads — strictly more
+  hazardous than CARLA's sidewalk-biased crowds.)
+
+Everything is vmapped over the K NPCs inside each (already-vmapped) world.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gail_carla_tpu.agents.autopilot import local_planner_act
+from gail_carla_tpu.agents.controllers import make_autopilot
+from gail_carla_tpu.config import EnvConfig
+from gail_carla_tpu.scene.scene import StaticScene
+from gail_carla_tpu.sim import signals
+from gail_carla_tpu.sim.dynamics import (
+    VehicleParams, VehicleState, step_vehicle,
+)
+from gail_carla_tpu.sim.state import TrafficState, make_empty_traffic
+from gail_carla_tpu.sim.transforms import cast_angle, vec_global_to_ref
+
+NPC_PARAMS = VehicleParams()  # same vehicle class as the ego
+
+
+def reset_traffic(
+    scene: StaticScene, cfg: EnvConfig, rng, ego_xy
+) -> TrafficState:
+    """Spawn K vehicles on random patrol points >= 10 m from the ego
+    (zombie_vehicle_handler.py:30-40) and W walkers at random spawn
+    points with random goals and speeds."""
+    K, W = cfg.n_npc_vehicles, cfg.n_npc_walkers
+    t = make_empty_traffic(K, W)
+    if K == 0 and W == 0:
+        return t
+    k_p, k_h, k_s, k_wx, k_wg, k_ws = jax.random.split(rng, 6)
+
+    if K > 0:
+        P = scene.patrol_xy.shape[0]
+        # 4 candidate (patrol, head) pairs per NPC; take the first >= 10 m
+        # from the ego and >= 8 m from previously placed candidates' slots.
+        C = 4
+        pat = jax.random.randint(k_p, (K, C), 0, P)
+        frac = jax.random.uniform(k_h, (K, C))
+
+        def cand_pos(p, f):
+            n = scene.patrol_n[p]
+            h = (f * (n.astype(jnp.float32) - 80.0)).astype(jnp.int32)
+            h = jnp.clip(h, 0, n - 2)
+            return h, jax.lax.dynamic_slice(
+                scene.patrol_xy, (p, h, 0), (1, 1, 2)
+            )[0, 0]
+
+        heads, pos = jax.vmap(jax.vmap(cand_pos))(pat, frac)   # (K,C,..)
+        dist_ego = jnp.linalg.norm(pos - ego_xy[None, None, :], axis=-1)
+        ok = dist_ego >= 10.0
+        pick = jnp.argmax(
+            ok.astype(jnp.float32)
+            + jax.random.uniform(k_s, (K, C)) * 0.1, axis=1
+        )
+        sel = lambda a: jnp.take_along_axis(  # noqa: E731
+            a, pick[:, None] if a.ndim == 2 else pick[:, None, None], axis=1
+        ).squeeze(1)
+        patrol = sel(pat)
+        head = sel(heads)
+        xy = sel(pos)
+
+        def pyaw(p, h):
+            return jax.lax.dynamic_slice(scene.patrol_yaw, (p, h), (1, 1))[
+                0, 0
+            ]
+
+        yaw = jax.vmap(pyaw)(patrol, head)
+        t = t.replace(
+            veh=VehicleState(xy=xy, yaw=yaw, speed=jnp.zeros((K,))),
+            veh_patrol=patrol.astype(jnp.int32),
+            veh_head=head.astype(jnp.int32),
+            veh_target_speed=jax.random.uniform(
+                k_s, (K,), minval=4.5, maxval=6.5
+            ),
+        )
+
+    if W > 0:
+        Q = scene.spawn.shape[0]
+
+        def spawn_at(f):
+            i = (f * Q).astype(jnp.int32) % Q
+            return jax.lax.dynamic_slice(scene.spawn, (i, 0), (1, 3))[0, :2]
+
+        wx = jax.vmap(spawn_at)(jax.random.uniform(k_wx, (W,)))
+        jitter = jax.random.normal(k_wx, (W, 2)) * 3.0
+        goals = jax.vmap(spawn_at)(jax.random.uniform(k_wg, (W,)))
+        t = t.replace(
+            walker_xy=wx + jitter,
+            walker_yaw=jnp.zeros((W,)),
+            walker_goal=goals,
+            walker_speed=jax.random.uniform(
+                k_ws, (W,), minval=1.0, maxval=2.0
+            ),
+        )
+    return t
+
+
+def _advance_patrol(scene, patrol, head, xy, window: int = 6):
+    """Same forward-walk as the ego route cursor (task_vehicle.py:103-128)
+    over the patrol arrays."""
+    win = jax.lax.dynamic_slice(
+        scene.patrol_xy, (patrol, head, 0), (1, window + 1, 2)
+    )[0]
+    p0, p1 = win[:-1], win[1:]
+    dot = jnp.sum((p1 - p0) * (xy[None, :] - p0), axis=-1)
+    offs = jnp.arange(window)
+    n = scene.patrol_n[patrol]
+    valid = (head + offs) < (n - 1)
+    adv = jnp.max(jnp.where((dot > 0) & valid, offs + 1, 0))
+    return jnp.minimum(head + adv, n - 1)
+
+
+def step_traffic(
+    scene: StaticScene,
+    cfg: EnvConfig,
+    traffic: TrafficState,
+    ego: VehicleState,
+    sim_time,
+    rng,
+) -> TrafficState:
+    """One tick for all NPCs in one world."""
+    K = traffic.veh_patrol.shape[0]
+    W = traffic.walker_xy.shape[0]
+    if K == 0 and W == 0:
+        return traffic
+    out = traffic
+
+    if K > 0:
+        tl_states = signals.light_states(scene, sim_time)
+        # --- lead-vehicle braking: candidates are the ego + all NPCs ---
+        all_xy = jnp.concatenate(
+            [traffic.veh.xy, ego.xy[None, :]], axis=0
+        )                                              # (K+1, 2)
+        all_yaw = jnp.concatenate(
+            [traffic.veh.yaw, ego.yaw[None]], axis=0
+        )
+
+        def npc_desired(i, veh_i):
+            rel = all_xy - veh_i.xy[None, :]
+            local = jax.vmap(vec_global_to_ref, in_axes=(0, None))(
+                rel, veh_i.yaw
+            )
+            dist = jnp.linalg.norm(local, axis=-1)
+            angle = jnp.abs(jnp.arctan2(local[:, 1], local[:, 0]))
+            same = jnp.abs(cast_angle(all_yaw - veh_i.yaw)) <= jnp.deg2rad(
+                150.0
+            )
+            notme = jnp.arange(K + 1) != i
+            hazard = (
+                notme & same & (angle < jnp.deg2rad(45.0)) & (dist < 12.0)
+            )
+            d_lead = jnp.min(jnp.where(hazard, dist, 1e9))
+            spd_lead = jnp.where(
+                d_lead < 1e9,
+                6.0 * jnp.clip(jnp.maximum(d_lead - 8.0, 0.0), 0, 5) / 5.0,
+                1e9,
+            )
+            state, loc, idx = signals.affecting_light(
+                scene, veh_i.xy, veh_i.yaw, tl_states,
+                offset=-0.8 * NPC_PARAMS.half_length, dist_threshold=18.0,
+            )
+            red = (state == signals.RED) | (state == signals.YELLOW)
+            d_rl = jnp.linalg.norm(loc)
+            spd_rl = jnp.where(
+                red,
+                6.0 * jnp.clip(jnp.maximum(d_rl - 5.0, 0.0), 0, 5) / 5.0,
+                1e9,
+            )
+            return jnp.minimum(spd_lead, spd_rl)
+
+        desired_cap = jax.vmap(npc_desired)(
+            jnp.arange(K), traffic.veh
+        )
+        target = jnp.minimum(traffic.veh_target_speed, desired_cap)
+
+        ap, actions = jax.vmap(
+            lambda a, v, p, h, ts: local_planner_act(
+                scene.patrol_xy, scene.patrol_cmd, a, v, p, h, ts
+            )
+        )(
+            traffic.veh_ap, traffic.veh, traffic.veh_patrol,
+            traffic.veh_head, target,
+        )
+        veh = jax.vmap(
+            lambda v, a: step_vehicle(
+                v, a[0], a[1], 0.0, cfg.dt, NPC_PARAMS
+            )
+        )(traffic.veh, actions)
+        head = jax.vmap(
+            lambda p, h, xy: _advance_patrol(scene, p, h, xy)
+        )(traffic.veh_patrol, traffic.veh_head, veh.xy)
+
+        # patrol exhausted -> teleport back to its start (zombie_vehicle.py)
+        n = scene.patrol_n[traffic.veh_patrol]
+        at_end = head >= (n - 8)
+        start_xy = jax.vmap(
+            lambda p: jax.lax.dynamic_slice(
+                scene.patrol_xy, (p, 0, 0), (1, 1, 2)
+            )[0, 0]
+        )(traffic.veh_patrol)
+        start_yaw = jax.vmap(
+            lambda p: jax.lax.dynamic_slice(
+                scene.patrol_yaw, (p, 0), (1, 1)
+            )[0, 0]
+        )(traffic.veh_patrol)
+        veh = VehicleState(
+            xy=jnp.where(at_end[:, None], start_xy, veh.xy),
+            yaw=jnp.where(at_end, start_yaw, veh.yaw),
+            speed=jnp.where(at_end, 0.0, veh.speed),
+        )
+        head = jnp.where(at_end, 0, head)
+        ap0 = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (K,) + a.shape), make_autopilot()
+        )
+        ap = jax.tree.map(
+            lambda a, b: jnp.where(
+                at_end.reshape((K,) + (1,) * (a.ndim - 1)), b, a
+            ),
+            ap, ap0,
+        )
+        out = out.replace(
+            veh=veh, veh_head=head.astype(jnp.int32), veh_ap=ap
+        )
+
+    if W > 0:
+        d = traffic.walker_goal - traffic.walker_xy
+        dist = jnp.linalg.norm(d, axis=-1, keepdims=True)
+        step = d / (dist + 1e-6) * traffic.walker_speed[:, None] * cfg.dt
+        new_xy = traffic.walker_xy + step
+        yaw = jnp.arctan2(d[:, 1], d[:, 0])
+        reached = dist[:, 0] < 1.0
+        Q = scene.spawn.shape[0]
+        f = jax.random.uniform(rng, (W,))
+
+        def spawn_at(ff):
+            i = (ff * Q).astype(jnp.int32) % Q
+            return jax.lax.dynamic_slice(scene.spawn, (i, 0), (1, 3))[0, :2]
+
+        new_goal = jnp.where(
+            reached[:, None],
+            jax.vmap(spawn_at)(f),
+            traffic.walker_goal,
+        )
+        out = out.replace(
+            walker_xy=new_xy, walker_yaw=yaw, walker_goal=new_goal
+        )
+    return out
