@@ -54,6 +54,9 @@ class EnvConfig:
     # --- traffic ---
     n_npc_vehicles: int = 0
     n_npc_walkers: int = 0
+    # --- full-parity BEV (15-channel masks + rendered RGB + history ring;
+    #     needed only for demo export / NoDetPx; policy uses mask 0) ---
+    full_bev: bool = False
 
     @property
     def max_steps(self) -> int:

@@ -28,7 +28,7 @@ from gail_carla_tpu.scene.scene import StaticScene
 from gail_carla_tpu.sim.dynamics import (
     DEFAULT_VEHICLE, VehicleParams, VehicleState, step_vehicle,
 )
-from gail_carla_tpu.sim.state import WorldState
+from gail_carla_tpu.sim.state import WorldState, make_empty_history
 from gail_carla_tpu.sim.traffic import reset_traffic, step_traffic
 from gail_carla_tpu.sim.transforms import (
     cast_angle, location_to_gps, vec_global_to_ref,
@@ -150,6 +150,13 @@ def reset_env(
         completed_last=completed_last,
         rng=rng,
         traffic=reset_traffic(scene, cfg, k_traffic, ego.xy),
+        history=(
+            make_empty_history(
+                cfg.n_npc_vehicles, cfg.n_npc_walkers,
+                scene.tl_stop.shape[0], scene.ss_center.shape[0],
+            )
+            if cfg.full_bev else None
+        ),
     )
 
 
@@ -484,6 +491,25 @@ def step_env(
         valeo_reward if cfg.reward_mode == "valeo" else delta_reward
     )
     episode_reward = state.episode_reward + reward
+
+    # --- BEV history ring (chauffeurnet.py:105-133) ---
+    if cfg.full_bev:
+        from gail_carla_tpu.ops.bev_full import push_history
+
+        S = scene.ss_center.shape[0]
+        stop_active = (
+            (jnp.arange(S) == ss_state.target) & (~ss_state.completed)
+        )
+        veh_pose = jnp.concatenate(
+            [traffic.veh.xy, traffic.veh.yaw[:, None]], axis=1
+        )
+        walker_pose = jnp.concatenate(
+            [traffic.walker_xy, traffic.walker_yaw[:, None]], axis=1
+        )
+        history = push_history(
+            state.history, veh_pose, walker_pose, tl_states, stop_active
+        )
+        state = state.replace(history=history)
 
     # --- leaderboard episode stats (ego_vehicle_handler.py:208-248) ---
     score_route = jnp.clip(total, 0.0, 1.0) * 100.0

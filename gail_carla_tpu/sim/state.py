@@ -37,6 +37,31 @@ class TrafficState:
 
 
 @struct.dataclass
+class HistoryState:
+    """20-tick ring of dynamic-actor snapshots for the full BEV mask stack
+    (replaces chauffeurnet.py:48's deque(maxlen=20)). Only allocated when
+    EnvConfig.full_bev is on; slot 0 = oldest after ``idx`` rotations."""
+
+    veh_pose: jnp.ndarray      # (20, K, 3) x, y, yaw
+    walker_pose: jnp.ndarray   # (20, W, 3)
+    tl_state: jnp.ndarray      # (20, T) i8 light states
+    stop_active: jnp.ndarray   # (20, S) bool un-completed target stop signs
+    idx: jnp.ndarray           # () i32 next write slot
+    count: jnp.ndarray         # () i32 valid entries
+
+
+def make_empty_history(n_veh, n_walkers, n_tl, n_ss) -> HistoryState:
+    return HistoryState(
+        veh_pose=jnp.zeros((20, n_veh, 3)),
+        walker_pose=jnp.zeros((20, n_walkers, 3)),
+        tl_state=jnp.zeros((20, n_tl), jnp.int8),
+        stop_active=jnp.zeros((20, n_ss), bool),
+        idx=jnp.zeros((), jnp.int32),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+@struct.dataclass
 class WorldState:
     # --- ego vehicle ---
     ego: VehicleState
@@ -84,6 +109,8 @@ class WorldState:
     rng: jax.Array                 # PRNG key
     # --- traffic ---
     traffic: TrafficState = None
+    # --- BEV actor history (None unless EnvConfig.full_bev) ---
+    history: HistoryState = None
 
 
 def make_empty_traffic(n_veh: int = 0, n_walkers: int = 0) -> TrafficState:
