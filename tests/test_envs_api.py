@@ -1,0 +1,72 @@
+import numpy as np
+import pytest
+
+from gail_carla_tpu.config import EnvConfig
+from gail_carla_tpu.scene.scene import make_benchmark_scene
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_benchmark_scene(n_routes=2, nx=3, ny=3, block=80.0,
+                                min_length=150.0)
+
+
+def test_gym_env_api(scene):
+    from gail_carla_tpu.envs.gym_env import DrivingEnv
+
+    tasks = [
+        {"route_id": r, "weather": "ClearNoon",
+         "n_npc_vehicles": 0, "n_npc_walkers": 0}
+        for r in (0, 1)
+    ]
+    env = DrivingEnv(scene, EnvConfig(train=False, bev_width=64),
+                     tasks=tasks, shuffle_tasks=False)
+    obs, metrics = env.reset()
+    assert obs.shape == (3, 64, 64) and metrics.shape == (4,)
+    assert env.observation_space.contains(obs)
+    total = 0.0
+    for _ in range(30):
+        obs, metrics, reward, done, info = env.step([0.0, 0.7])
+        total += reward
+        assert "route_completed_in_m" in info
+        if done:
+            assert "episode" in info
+            break
+    assert total > 0.0
+    env.set_task_idx(1)
+    assert env.task["route_id"] == 1
+
+
+def test_vec_env_api(scene):
+    from gail_carla_tpu.envs.vec_env import TpuVecEnv
+
+    venv = TpuVecEnv(scene, EnvConfig(train=False, bev_width=64),
+                     num_envs=4)
+    obs, metrics = venv.reset()
+    assert obs.shape == (4, 3, 64, 64) and metrics.shape == (4, 4)
+    actions = np.tile(np.array([0.0, 0.6], np.float32), (4, 1))
+    venv.step_async(actions)
+    obs, metrics, rewards, dones, infos = venv.step_wait()
+    assert rewards.shape == (4,) and len(infos) == 4
+    assert infos[1]["route_id"] == 1  # round-robin route assignment
+    obs, metrics, rewards, dones, infos = venv.step(actions)
+    assert obs.shape == (4, 3, 64, 64)
+
+
+@pytest.mark.slow
+def test_registry_all_suites_build():
+    from gail_carla_tpu.envs.registry import available_envs, make
+
+    ids = available_envs()
+    assert len(ids) == 10  # parity with carla_gym/__init__.py:8-79
+    # build one env per suite family (suites are cached per kwargs)
+    for env_id in ("LeaderBoard-v0", "NoCrash-v1", "CoRL2017-v0",
+                   "CoRL2017-v2", "Endless-v0"):
+        env = make(env_id)
+        obs, metrics = env.reset()
+        assert obs.shape[0] == 3
+        obs, metrics, reward, done, info = env.step([0.0, 0.5])
+        assert np.isfinite(reward)
+
+    with pytest.raises(KeyError):
+        make("NoSuchEnv-v0")
