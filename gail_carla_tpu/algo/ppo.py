@@ -24,10 +24,26 @@ from gail_carla_tpu.models import policy as policy_mod
 
 
 def make_policy_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    lr = tcfg.lr
+    if tcfg.use_linear_lr_decay:
+        # utli.update_linear_schedule (tools/utli.py:121-125): lr falls
+        # linearly per *update*; optimizer steps happen ppo_epoch *
+        # minibatch times per update, so map the step count back.
+        mb_per_update = max(
+            tcfg.ppo_epoch * (tcfg.steps_per_env * tcfg.n_envs
+                              // tcfg.mini_batch_size), 1
+        )
+        n_updates = max(tcfg.n_updates, 1)
+
+        def lr(count):  # noqa: F811
+            i_update = count // mb_per_update
+            frac = 1.0 - i_update.astype(jnp.float32) / n_updates
+            return tcfg.lr * jnp.maximum(frac, 0.0)
+
     return optax.chain(
         optax.clip_by_global_norm(tcfg.max_grad_norm),
         optax.adam(
-            tcfg.lr, b1=tcfg.betas[0], b2=tcfg.betas[1], eps=tcfg.eps
+            lr, b1=tcfg.betas[0], b2=tcfg.betas[1], eps=tcfg.eps
         ),
     )
 

@@ -61,7 +61,7 @@ def make_presets():
 
 def run(env_cfg, model_cfg, tcfg, scene_kwargs, demo_steps,
         max_updates=None, log_dir="runs/wdgail", ckpt_dir=None,
-        use_sharding=None):
+        use_sharding=None, profile=False):
     scene = make_benchmark_scene(**scene_kwargs)
     writer = MetricsWriter(log_dir)
 
@@ -108,7 +108,14 @@ def run(env_cfg, model_cfg, tcfg, scene_kwargs, demo_steps,
     t0 = time.time() - elapsed0
     eval_metrics = {}
     while int(state.update_i) < n_updates:
-        state, metrics = learner.update(state)
+        if profile and int(state.update_i) == 1:
+            # SURVEY §5: the reference has no tracing at all; we capture a
+            # device profile of one steady-state update.
+            with jax.profiler.trace(f"{log_dir}/profile"):
+                state, metrics = learner.update(state)
+                jax.block_until_ready(metrics)
+        else:
+            state, metrics = learner.update(state)
         i = int(state.update_i)
 
         if i % tcfg.eval_interval == 0 or not eval_metrics:
@@ -151,6 +158,8 @@ def main(argv=None):
     p.add_argument("--max-updates", type=int, default=None)
     p.add_argument("--log-dir", default="runs/wdgail")
     p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of update 2")
     args = p.parse_args(argv)
 
     preset = make_presets()[args.preset]
@@ -161,6 +170,7 @@ def main(argv=None):
         preset["env"], preset["model"], tcfg, preset["scene"],
         preset["demo_steps"], max_updates=args.max_updates,
         log_dir=args.log_dir, ckpt_dir=args.ckpt_dir,
+        profile=args.profile,
     )
 
 

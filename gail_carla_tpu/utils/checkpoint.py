@@ -13,13 +13,30 @@ import os
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
+
+
+def _elide_empty(tree):
+    """orbax refuses zero-size arrays (e.g. traffic buffers with 0 NPCs);
+    swap them for a scalar placeholder and restore from the template."""
+    return jax.tree.map(
+        lambda a: jnp.zeros(()) if getattr(a, "size", 1) == 0 else a, tree
+    )
+
+
+def _restore_empty(tree, template):
+    return jax.tree.map(
+        lambda a, t: t if getattr(t, "size", 1) == 0 else a, tree, template
+    )
 
 
 def save_checkpoint(path: str, state: Any, elapsed: float = 0.0) -> None:
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, {"state": state, "elapsed": elapsed}, force=True)
+    ckptr.save(
+        path, {"state": _elide_empty(state), "elapsed": elapsed}, force=True
+    )
     ckptr.wait_until_finished()
 
 
@@ -29,9 +46,11 @@ def restore_checkpoint(path: str, template_state: Any):
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(
-        path, {"state": template_state, "elapsed": 0.0}
+        path, {"state": _elide_empty(template_state), "elapsed": 0.0}
     )
-    return restored["state"], restored["elapsed"]
+    return _restore_empty(restored["state"], template_state), restored[
+        "elapsed"
+    ]
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:
