@@ -20,7 +20,7 @@ import numpy as np
 from flax import struct
 
 from gail_carla_tpu.config import EnvConfig
-from gail_carla_tpu.ops.bev import render_bev
+from gail_carla_tpu.ops.bev import render_bev, render_bev_batch_auto
 from gail_carla_tpu.scene.scene import StaticScene
 from gail_carla_tpu.sim.env import RenderState
 
@@ -72,18 +72,14 @@ def fetch_rollout_obs(scene, cfg: EnvConfig, rollout: Rollout, t_idx, n_idx):
     if rollout.obs is not None:
         return _decode(rollout.obs[t_idx, n_idx])
     r = jax.tree.map(lambda a: a[t_idx, n_idx], rollout.render)
-    return jax.vmap(
-        lambda rr: render_bev(scene, cfg, rr.xy, rr.yaw, rr.route_id, rr.head)
-    )(r)
+    return render_bev_batch_auto(scene, cfg, r)
 
 
 def fetch_expert_obs(scene, cfg: EnvConfig, buf: ExpertBuffer, idx):
     if buf.obs is not None:
         return _decode(buf.obs[idx])
     r = jax.tree.map(lambda a: a[idx], buf.render)
-    return jax.vmap(
-        lambda rr: render_bev(scene, cfg, rr.xy, rr.yaw, rr.route_id, rr.head)
-    )(r)
+    return render_bev_batch_auto(scene, cfg, r)
 
 
 def build_expert_buffer(

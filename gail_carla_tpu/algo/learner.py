@@ -81,6 +81,10 @@ class WDGAILLearner:
         self._policy_params0 = policy_params
         self._disc_params0 = disc_params
 
+        # Expert buffers are passed as ARGUMENTS, not closed over: closure
+        # arrays are baked into the HLO as constants, and a GB-scale demo
+        # buffer blows past compiler request limits (and bloats every
+        # recompile). The scene (few MB of segment tables) stays closed over.
         self._update_fn = (
             jax.jit(self._update) if jit_update else self._update
         )
@@ -110,7 +114,12 @@ class WDGAILLearner:
             update_i=jnp.zeros((), jnp.int32),
         )
 
-    def _update(self, state: LearnerState, n_disc_epochs):
+    def _update(self, state: LearnerState, n_disc_epochs,
+                expert=None, expert_val=None):
+        expert = expert if expert is not None else self.expert
+        expert_val = (
+            expert_val if expert_val is not None else self.expert_val
+        )
         scene, env_cfg, tcfg = self.scene, self.env_cfg, self.tcfg
         rng, k_roll, k_disc, k_ppo, k_val1, k_val2 = jax.random.split(
             state.rng, 6
@@ -124,18 +133,18 @@ class WDGAILLearner:
 
         pre_wd, pre_e, pre_p = wdgail_mod.validation_wd(
             scene, env_cfg, self.disc_net, state.disc_params, rollout,
-            self.expert_val, k_val1,
+            expert_val, k_val1,
         )
 
         disc_params, disc_opt, disc_aux = wdgail_mod.disc_update(
             scene, env_cfg, tcfg, self.disc_net, state.disc_params,
-            self.disc_optimizer, state.disc_opt, rollout, self.expert,
+            self.disc_optimizer, state.disc_opt, rollout, expert,
             k_disc, n_disc_epochs, axis_name=self.axis_name,
         )
 
         post_wd, post_e, post_p = wdgail_mod.validation_wd(
             scene, env_cfg, self.disc_net, disc_params, rollout,
-            self.expert_val, k_val2,
+            expert_val, k_val2,
         )
 
         gail_rewards = wdgail_mod.relabel_rewards(
@@ -152,7 +161,7 @@ class WDGAILLearner:
             scene, env_cfg, tcfg, self.policy_net, state.policy_params,
             self.policy_optimizer, state.policy_opt, rollout, returns,
             k_ppo, state.gail_gamma,
-            self.expert if tcfg.bcgail else None,
+            expert if tcfg.bcgail else None,
             axis_name=self.axis_name,
         )
 
@@ -197,4 +206,7 @@ class WDGAILLearner:
         compiled program serves the whole schedule."""
         i_update = int(state.update_i) + 1
         n_epochs = wdgail_mod.warmup_epochs(self.tcfg, i_update)
-        return self._update_fn(state, jnp.asarray(n_epochs, jnp.int32))
+        return self._update_fn(
+            state, jnp.asarray(n_epochs, jnp.int32),
+            self.expert, self.expert_val,
+        )

@@ -13,13 +13,13 @@ import jax.numpy as jnp
 from gail_carla_tpu.algo.buffers import Rollout
 from gail_carla_tpu.config import EnvConfig
 from gail_carla_tpu.models import policy as policy_mod
-from gail_carla_tpu.ops.bev import render_bev_batch
+from gail_carla_tpu.ops.bev import render_bev_batch_auto
 from gail_carla_tpu.scene.scene import StaticScene
 from gail_carla_tpu.sim.env import step_batch
 
 
 def _render_batch(scene, cfg, render_state):
-    return render_bev_batch(scene, cfg, render_state)
+    return render_bev_batch_auto(scene, cfg, render_state)
 
 
 def collect_rollout(

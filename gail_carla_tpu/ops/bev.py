@@ -153,6 +153,19 @@ def render_bev(
     return img.reshape(3, w, w)
 
 
+def render_bev_batch_auto(scene, cfg, render_state):
+    """Backend-dispatching batch renderer: the fused Pallas kernel on TPU
+    (ops/bev_pallas.py — ~3x the XLA version, bit-identical output), the
+    XLA path elsewhere. Decided at trace time."""
+    import jax
+
+    if jax.default_backend() in ("tpu", "axon"):
+        from gail_carla_tpu.ops.bev_pallas import render_bev_pallas_batch
+
+        return render_bev_pallas_batch(scene, cfg, render_state)
+    return render_bev_batch(scene, cfg, render_state)
+
+
 def render_bev_batch(scene, cfg, render_state, chunk: int = 256):
     """vmap over a RenderState batch (any leading shape), scanning in
     chunks of ``chunk`` envs: the (pixels x segments) distance intermediate

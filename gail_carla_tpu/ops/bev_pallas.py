@@ -1,0 +1,178 @@
+"""Pallas TPU kernel: fused BEV capsule rasterizer.
+
+The XLA version (ops/bev.py) materialises a (pixels x segments) distance
+matrix per env (~7.6 MB — past VMEM, so it spills to HBM) before the min
+reduction; measured ~160 GFLOP/s. This kernel keeps three (192,192)
+accumulators in VMEM and streams segments through registers, so the whole
+raster is compute-bound on the VPU.
+
+Grid: one program per env. Inputs are the per-env segment tables
+pre-gathered with dynamic_slice (cheap; see scene/segments.py) plus the ego
+pose; output is the (3, W, W) float32 (road, route, lane) observation,
+bit-identical semantics to ops/bev.py::render_bev.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gail_carla_tpu.config import EnvConfig
+from gail_carla_tpu.ops import bev as bev_xla
+from gail_carla_tpu.scene.scene import StaticScene
+
+
+def _kernel(
+    pose_ref,       # (1, 1, 4) f32 [x, y, cos yaw, sin yaw]         VMEM
+    road_ref,       # (1, Mr, 4)                                      VMEM
+    lane_ref,       # (1, Ml, 4)                                      VMEM
+    laneval_ref,    # (1, 1, Ml)                                      SMEM
+    route_ref,      # (1, K, 4)                                       VMEM
+    out_ref,        # (1, 3, W, W)                                    VMEM
+    *,
+    w: int,
+    ppm: float,
+    ptb: int,
+    half_lane: float,
+    route_half: float,
+    lane_half: float,
+):
+    x = pose_ref[0, 0, 0]
+    y = pose_ref[0, 0, 1]
+    c = pose_ref[0, 0, 2]
+    s = pose_ref[0, 0, 3]
+
+    # pixel world coordinates (see ops/bev.py::pixel_world_coords)
+    scale = (w / (w - 1.0)) / ppm
+    rows = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1).astype(jnp.float32)
+    tl_x = x + ((w - ptb) / ppm) * c - (0.5 * w / ppm) * (-s)
+    tl_y = y + ((w - ptb) / ppm) * s - (0.5 * w / ppm) * c
+    pxx = tl_x + cols * scale * (-s) - rows * scale * c
+    pxy = tl_y + cols * scale * c - rows * scale * s
+
+    big = jnp.float32(1.0e12)
+
+    def min_d2_over(seg_ref):
+        """Stream segments; accumulate per-pixel min squared distance.
+        Reads scalars straight from the VMEM ref (Mosaic has no
+        dynamic_slice on loaded arrays)."""
+        n = seg_ref.shape[1]
+
+        def body(i, acc):
+            ax = seg_ref[0, i, 0]
+            ay = seg_ref[0, i, 1]
+            bx = seg_ref[0, i, 2]
+            by = seg_ref[0, i, 3]
+            abx = bx - ax
+            aby = by - ay
+            denom = abx * abx + aby * aby + 1e-9
+            t = jnp.clip(
+                ((pxx - ax) * abx + (pxy - ay) * aby) / denom, 0.0, 1.0
+            )
+            dx = pxx - (ax + t * abx)
+            dy = pxy - (ay + t * aby)
+            return jnp.minimum(acc, dx * dx + dy * dy)
+
+        return jax.lax.fori_loop(
+            0, n, body, jnp.full((w, w), big, jnp.float32)
+        )
+
+    road_d2 = min_d2_over(road_ref)
+    route_d2 = min_d2_over(route_ref)
+
+    # lane channel carries the max marking value within reach
+    def lane_body(i, acc):
+        ax = lane_ref[0, i, 0]
+        ay = lane_ref[0, i, 1]
+        bx = lane_ref[0, i, 2]
+        by = lane_ref[0, i, 3]
+        abx = bx - ax
+        aby = by - ay
+        denom = abx * abx + aby * aby + 1e-9
+        t = jnp.clip(
+            ((pxx - ax) * abx + (pxy - ay) * aby) / denom, 0.0, 1.0
+        )
+        dx = pxx - (ax + t * abx)
+        dy = pxy - (ay + t * aby)
+        hit = (dx * dx + dy * dy) <= lane_half * lane_half
+        return jnp.maximum(
+            acc, jnp.where(hit, laneval_ref[0, 0, i], 0.0)
+        )
+
+    lane_v = jax.lax.fori_loop(
+        0, lane_ref.shape[1], lane_body, jnp.zeros((w, w), jnp.float32)
+    )
+
+    out_ref[0, 0] = (road_d2 <= half_lane * half_lane).astype(jnp.float32)
+    out_ref[0, 1] = (route_d2 <= route_half * route_half).astype(jnp.float32)
+    out_ref[0, 2] = lane_v / 255.0
+
+
+def render_bev_pallas_batch(
+    scene: StaticScene, cfg: EnvConfig, render_state, interpret: bool = False
+) -> jnp.ndarray:
+    """(N, 3, W, W) float32 — drop-in for ops/bev.py::render_bev_batch on
+    TPU (same channel semantics; ops/bev.py remains the CPU/interpret
+    reference implementation the tests compare against)."""
+    lead = render_state.yaw.shape
+    flat = jax.tree.map(
+        lambda a: a.reshape((-1,) + a.shape[len(lead):]), render_state
+    )
+    n = flat.yaw.shape[0]
+    w = cfg.bev_width
+
+    pose = jnp.stack(
+        [flat.xy[:, 0], flat.xy[:, 1], jnp.cos(flat.yaw),
+         jnp.sin(flat.yaw)], axis=1,
+    )[:, None, :]                      # (N, 1, 4) for Mosaic block rules
+    road, _, lane, lane_val = jax.vmap(
+        lambda xy: bev_xla.fetch_cell(scene, xy)
+    )(flat.xy)
+    route = jax.vmap(
+        lambda r, h: bev_xla.route_window_segs(scene, r, h)
+    )(flat.route_id, flat.head)
+
+    mr = road.shape[1]
+    ml = lane.shape[1]
+    k = route.shape[1]
+    kernel = functools.partial(
+        _kernel,
+        w=w,
+        ppm=cfg.pixels_per_meter,
+        ptb=cfg.pixels_ev_to_bottom,
+        half_lane=scene.half_lane,
+        route_half=bev_xla.ROUTE_HALF_W,
+        lane_half=bev_xla.LANE_HALF_W,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mr, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ml, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ml), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, w, w), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, 3, w, w), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=n * w * w * (mr + ml + k) * 12,
+            bytes_accessed=n * (3 * w * w * 4 + (mr + ml + k) * 16),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pose, road, lane, lane_val[:, None, :], route)
+    return out.reshape(lead + (3, w, w))

@@ -82,7 +82,7 @@ class ShardedWDGAILLearner(WDGAILLearner):
 
         self._state_spec_fn = state_spec
 
-        def sharded_update(state, n_epochs):
+        def sharded_update(state, n_epochs, expert, expert_val):
             # Per-device randomness for rollouts/minibatches comes from a
             # work key folded with the device's mesh position; the carried
             # rng advances identically on every replica so replicated state
@@ -90,7 +90,9 @@ class ShardedWDGAILLearner(WDGAILLearner):
             idx = jax.lax.axis_index(self.AXIS)
             next_rng, work = jax.random.split(state.rng)
             local = state.replace(rng=jax.random.fold_in(work, idx))
-            new_state, metrics = self._update(local, n_epochs)
+            new_state, metrics = self._update(
+                local, n_epochs, expert, expert_val
+            )
             new_state = new_state.replace(rng=next_rng)
             metrics = jax.tree.map(
                 lambda m: jax.lax.pmean(m, self.AXIS), metrics
@@ -119,9 +121,12 @@ class ShardedWDGAILLearner(WDGAILLearner):
             shmapped = jax.shard_map(
                 self._sharded_update,
                 mesh=self.mesh,
-                in_specs=(spec, P()),
+                in_specs=(spec, P(), P(), P()),  # experts replicated
                 out_specs=(spec, P()),
                 check_vma=False,
             )
             self._compiled = jax.jit(shmapped)
-        return self._compiled(state, jnp.asarray(n_epochs, jnp.int32))
+        return self._compiled(
+            state, jnp.asarray(n_epochs, jnp.int32),
+            self.expert, self.expert_val,
+        )

@@ -121,3 +121,21 @@ def test_bc_loss_decreases(scene):
     )
     assert losses[-1] < losses[0], losses
     assert np.isfinite(best_loss)
+
+
+def test_pallas_bev_kernel_matches_xla_interpret(scene):
+    """The TPU kernel (ops/bev_pallas.py) must agree with the XLA reference
+    renderer; on CPU we run it in interpreter mode (small batch)."""
+    import jax
+    import jax.numpy as jnp
+    from gail_carla_tpu.ops.bev import render_bev_batch
+    from gail_carla_tpu.ops.bev_pallas import render_bev_pallas_batch
+    from gail_carla_tpu.sim.env import reset_batch
+
+    cfg = EnvConfig(train=False)
+    _, _, render = reset_batch(scene, cfg, jax.random.PRNGKey(4),
+                               jnp.arange(2, dtype=jnp.int32))
+    a = np.asarray(render_bev_batch(scene, cfg, render))
+    b = np.asarray(render_bev_pallas_batch(scene, cfg, render,
+                                           interpret=True))
+    np.testing.assert_allclose(a, b, atol=1e-5)
