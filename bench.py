@@ -109,6 +109,7 @@ def main():
         "value": round(sim_rate, 1),
         "unit": "steps/s",
         "vs_baseline": round(sim_rate / NORTH_STAR, 3),
+        "with_bev_obs_steps_per_sec": round(bev_rate, 1),
     }))
 
 

@@ -88,6 +88,7 @@ def build_expert_buffer(
     demos,                      # algo.expert.DemoBatch
     materialize_obs: bool = True,
     size: Optional[int] = None,
+    max_size: Optional[int] = None,
 ) -> ExpertBuffer:
     """Compact a DemoBatch to its valid steps (host-side, once at startup —
     like the reference loads gail_experts/ once in wdail_carla.py:159-183).
@@ -99,6 +100,8 @@ def build_expert_buffer(
         raise ValueError("expert generated no valid (completed) episodes")
     if size is None:
         size = len(idx)
+    if max_size is not None:
+        size = min(size, max_size)
     sel = idx[np.arange(size) % len(idx)]
     sel = jnp.asarray(sel)
 
@@ -110,20 +113,18 @@ def build_expert_buffer(
     if materialize_obs:
         def chunk_render(r):
             return (
-                jax.vmap(
-                    lambda rr: render_bev(
-                        scene, cfg, rr.xy, rr.yaw, rr.route_id, rr.head
-                    )
-                )(r)
-                * 255.0
+                render_bev_batch_auto(scene, cfg, r) * 255.0
             ).astype(jnp.uint8)
 
+        # assemble on host: a device-side concat would transiently double
+        # the buffer (GBs at scale) and can exhaust HBM
         chunks = []
         B = 512
+        render_fn = jax.jit(chunk_render)
         for lo in range(0, size, B):
             r = jax.tree.map(lambda a: a[lo:lo + B], render_sel)
-            chunks.append(jax.jit(chunk_render)(r))
-        obs = jnp.concatenate(chunks, axis=0)
+            chunks.append(np.asarray(render_fn(r)))
+        obs = jnp.asarray(np.concatenate(chunks, axis=0))
 
     return ExpertBuffer(
         render=render_sel, metrics=metrics_sel, obs=obs, actions=actions_sel

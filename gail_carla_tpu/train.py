@@ -75,7 +75,10 @@ def run(env_cfg, model_cfg, tcfg, scene_kwargs, demo_steps,
         scene, demo_cfg, jax.random.PRNGKey(7331),
         jnp.asarray([tcfg.eval_route], jnp.int32), demo_steps,
     )
-    expert = build_expert_buffer(scene, env_cfg, demos)
+    # cap the train buffer near the reference's demo size (~7200 steps,
+    # params_variable.json:13-14 routes x ~720-step episodes); valid steps
+    # beyond the cap would only cost HBM
+    expert = build_expert_buffer(scene, env_cfg, demos, max_size=12288)
     expert_val = build_expert_buffer(
         scene, env_cfg, demos_val, size=min(1024, expert.size)
     )
