@@ -89,13 +89,14 @@ def main():
         jax.block_until_ready(out)
         print(f"{name}: compiled in {time.perf_counter() - t0:.1f}s",
               file=sys.stderr, flush=True)
-        t0 = time.perf_counter()
-        reps = 3
-        for _ in range(reps):
+        # best-of-5: single timings through the device tunnel jitter ±15%
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
             out = fn(*args)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / reps
-        rate = N_ENVS * n_steps / dt
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        rate = N_ENVS * n_steps / best
         print(f"{name}: {rate:,.0f} steps/s", file=sys.stderr, flush=True)
         return rate
 

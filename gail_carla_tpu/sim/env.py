@@ -238,13 +238,15 @@ def observe(scene, cfg: EnvConfig, state: WorldState):
     return _observe(scene, cfg, state)
 
 
-def _static_collision(scene, params: VehicleParams, ego: VehicleState):
+def _static_collision(scene, params: VehicleParams, ego: VehicleState,
+                      road_segs):
     """Stand-in for CARLA's collision sensor against layout
     (criteria/collision.py): fires when the vehicle body has fully left the
     drivable surface (all four bounding-box corners farther from every road
     capsule than the lane half-width — same geometry the BEV renderer and
-    the offline rasterizer use)."""
-    from gail_carla_tpu.ops.bev import capsule_min_dist2, fetch_cell
+    the offline rasterizer use). ``road_segs`` comes from the step's single
+    shared fetch_cell."""
+    from gail_carla_tpu.ops.bev import capsule_min_dist2
 
     c, s = jnp.cos(ego.yaw), jnp.sin(ego.yaw)
     f = jnp.stack([c, s]) * params.half_length
@@ -252,7 +254,6 @@ def _static_collision(scene, params: VehicleParams, ego: VehicleState):
     corners = ego.xy[None, :] + jnp.stack(
         [f + r, f - r, -f + r, -f - r], axis=0
     )
-    road_segs, _, _, _ = fetch_cell(scene, ego.xy)
     d2 = capsule_min_dist2(corners, road_segs)
     on_road = d2 <= scene.half_lane**2
     return ~jnp.any(on_road)
@@ -380,8 +381,9 @@ def step_env(
     )
     c_timeout = step_count >= cfg.max_steps
 
-    # --- collisions ---
-    c_collision_static = _static_collision(scene, params, ego)
+    # --- collisions (one shared spatial-hash fetch per step) ---
+    road_segs, road_flag, _, _ = fetch_cell(scene, ego.xy)
+    c_collision_static = _static_collision(scene, params, ego, road_segs)
     c_col_veh, c_col_ped = _dynamic_collisions(state.traffic, params, ego)
     c_collision = c_collision_static | c_col_veh | c_col_ped
 
@@ -402,7 +404,6 @@ def step_env(
     encountered_light, enc_light = crit.encounter_light(
         scene, ego, tl_states, state.encountered_light
     )
-    road_segs, road_flag, _, _ = fetch_cell(scene, ego.xy)
     outside_lane, wrong_lane = crit.outside_route_lane(
         scene, ego, road_segs, road_flag
     )
