@@ -6,7 +6,6 @@ controller state without an import cycle. Semantics: controller.py:4-29
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import struct
 

@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from gail_carla_tpu.agents.controllers import PIDState
 from gail_carla_tpu.scene.scene import StaticScene
 from gail_carla_tpu.sim.state import WorldState
 from gail_carla_tpu.sim.transforms import location_to_gps

@@ -15,7 +15,7 @@ from flax import struct
 
 from gail_carla_tpu.agents.autopilot import local_planner_act
 from gail_carla_tpu.agents.controllers import (
-    AutopilotState, PIDState, make_autopilot, pid_step,
+    AutopilotState, PIDState, pid_step,
 )
 from gail_carla_tpu.sim.dynamics import VehicleState
 

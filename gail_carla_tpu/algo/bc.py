@@ -7,9 +7,6 @@ learn_bc.py:70-72). Runs as one jitted epoch per call.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -10,14 +10,12 @@ interop lives in ``tools/gen_trajectories.py``.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import struct
 
 from gail_carla_tpu.agents.autopilot import (
-    AutopilotState, autopilot_act, make_autopilot, reset_autopilot_where,
+    autopilot_act, make_autopilot, reset_autopilot_where,
 )
 from gail_carla_tpu.agents.noiser import (
     apply_steer_noise, apply_throttle_noise, make_noiser, noiser_step,

@@ -9,8 +9,6 @@ LearnerState handle, applies the warm-up epoch count, and logs.
 """
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -19,7 +17,7 @@ from flax import struct
 
 from gail_carla_tpu.algo import ppo as ppo_mod
 from gail_carla_tpu.algo import wdgail as wdgail_mod
-from gail_carla_tpu.algo.buffers import ExpertBuffer, Rollout
+from gail_carla_tpu.algo.buffers import ExpertBuffer
 from gail_carla_tpu.algo.rollout import collect_rollout
 from gail_carla_tpu.config import EnvConfig, ModelConfig, TrainConfig
 from gail_carla_tpu.models.discriminator import init_discriminator

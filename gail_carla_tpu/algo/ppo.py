@@ -10,7 +10,7 @@ loss, matching the reference. All epochs/minibatches run in one lax.scan.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,6 @@ Port of ``algo/wdgail.py:100-189`` and the warm-up schedule in
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -5,12 +5,9 @@ Normal action distribution.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
-from flax import struct
 
 from gail_carla_tpu.config import ModelConfig
 from gail_carla_tpu.models.processors import MetricsEncoder, ObsEncoder

@@ -9,8 +9,7 @@ cross-device traffic inside an env step at all — each world is device-local.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

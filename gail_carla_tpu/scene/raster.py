@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import List, Tuple
-
 import numpy as np
 
 from gail_carla_tpu.scene.town import LaneGraph

@@ -14,7 +14,7 @@ offline via scene/raster.py for PNG export and debugging.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ host — routes are static per task, so none of this needs to be jitted.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import List
 
 import numpy as np

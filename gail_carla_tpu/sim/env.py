@@ -30,9 +30,7 @@ from gail_carla_tpu.sim.dynamics import (
 )
 from gail_carla_tpu.sim.state import WorldState, make_empty_history
 from gail_carla_tpu.sim.traffic import reset_traffic, step_traffic
-from gail_carla_tpu.sim.transforms import (
-    cast_angle, location_to_gps, vec_global_to_ref,
-)
+from gail_carla_tpu.sim.transforms import vec_global_to_ref
 
 # 1 degree of the reference's equatorial Web-Mercator == R*pi/180 metres.
 _METERS_PER_DEG = 111319.4907932736

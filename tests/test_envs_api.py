@@ -70,3 +70,31 @@ def test_registry_all_suites_build():
 
     with pytest.raises(KeyError):
         make("NoSuchEnv-v0")
+
+
+def test_observe_full_dict(scene):
+    import jax
+    import jax.numpy as jnp
+    from gail_carla_tpu.sim.env import reset_batch, step_batch
+    from gail_carla_tpu.sim.observations import observe_full
+
+    cfg = EnvConfig(train=False, full_bev=True, n_npc_vehicles=4,
+                    n_npc_walkers=2)
+    states, _, _ = reset_batch(scene, cfg, jax.random.PRNGKey(0),
+                               jnp.zeros((1,), jnp.int32))
+    for _ in range(5):
+        states, out = step_batch(
+            scene, cfg, states, np.tile(np.array([0.0, 0.6], np.float32),
+                                        (1, 1)))
+    w = jax.tree.map(lambda a: a[0], states)
+    obs = jax.jit(lambda s: observe_full(scene, cfg, s))(w)
+    assert set(obs) >= {"speed", "velocity", "control", "route_plan",
+                        "route_state", "gnss", "surrounding_vehicles",
+                        "surrounding_pedestrians", "birdview"}
+    assert float(obs["speed"]["speed"][0]) > 0.5
+    assert obs["route_plan"]["location"].shape == (20, 2)
+    assert obs["birdview"]["masks"].shape == (15, 192, 192)
+    assert obs["surrounding_vehicles"]["binary_mask"].shape == (10,)
+    # gnss command is a valid RoadOption
+    cmd = int(obs["gnss"]["command"][0])
+    assert 1 <= cmd <= 6
