@@ -41,8 +41,26 @@ class LearnerState:
     update_i: jnp.ndarray        # () i32
 
 
+def _dummy_expert(env_cfg: EnvConfig) -> ExpertBuffer:
+    from gail_carla_tpu.sim.env import RenderState
+
+    w = env_cfg.bev_width
+    return ExpertBuffer(
+        render=RenderState(
+            xy=jnp.zeros((1, 2)), yaw=jnp.zeros((1,)),
+            route_id=jnp.zeros((1,), jnp.int32),
+            head=jnp.zeros((1,), jnp.int32),
+        ),
+        metrics=jnp.zeros((1, 4)),
+        obs=jnp.zeros((1, 3, w, w), jnp.uint8),
+        actions=jnp.zeros((1, 2)),
+    )
+
+
 class WDGAILLearner:
-    """Host-side handle: builds nets/optimizers, owns the jitted update."""
+    """Host-side handle: builds nets/optimizers, owns the jitted update.
+    With tcfg.algo == "ppo" the discriminator phases are skipped and GAE
+    runs on the env reward (no expert buffer needed)."""
 
     def __init__(
         self,
@@ -61,6 +79,10 @@ class WDGAILLearner:
         self.env_cfg = env_cfg
         self.model_cfg = model_cfg
         self.tcfg = tcfg
+        if expert is None:
+            if tcfg.algo != "ppo":
+                raise ValueError("WDGAIL needs an expert buffer")
+            expert = _dummy_expert(env_cfg)  # untouched in ppo-only mode
         self.expert = expert
         self.expert_val = expert_val if expert_val is not None else expert
         self.store_obs = store_obs
@@ -129,37 +151,58 @@ class WDGAILLearner:
             k_roll, tcfg.steps_per_env, self.store_obs,
         )
 
-        pre_wd, pre_e, pre_p = wdgail_mod.validation_wd(
-            scene, env_cfg, self.disc_net, state.disc_params, rollout,
-            expert_val, k_val1,
-        )
+        if tcfg.algo == "ppo":
+            # PPO-only (BASELINE config #2): no discriminator — GAE runs on
+            # the env reward (gail_coef 0 / env_coef 1 flips the mix from
+            # tools/storage.py:41-42).
+            disc_params, disc_opt = state.disc_params, state.disc_opt
+            z = jnp.zeros(())
+            disc_aux = {}
+            pre_wd = pre_e = pre_p = post_wd = post_e = post_p = z
+            returns = compute_returns(
+                rollout.gail_rewards, rollout.env_rewards, rollout.values,
+                rollout.masks, tcfg.gamma, tcfg.gae_lambda,
+                gail_coef=0.0, env_coef=1.0,
+            )
+            gail_rewards = rollout.gail_rewards
+        else:
+            pre_wd, pre_e, pre_p = wdgail_mod.validation_wd(
+                scene, env_cfg, self.disc_net, state.disc_params, rollout,
+                expert_val, k_val1,
+            )
 
-        disc_params, disc_opt, disc_aux = wdgail_mod.disc_update(
-            scene, env_cfg, tcfg, self.disc_net, state.disc_params,
-            self.disc_optimizer, state.disc_opt, rollout, expert,
-            k_disc, n_disc_epochs, axis_name=self.axis_name,
-        )
+            disc_params, disc_opt, disc_aux = wdgail_mod.disc_update(
+                scene, env_cfg, tcfg, self.disc_net, state.disc_params,
+                self.disc_optimizer, state.disc_opt, rollout, expert,
+                k_disc, n_disc_epochs, axis_name=self.axis_name,
+            )
 
-        post_wd, post_e, post_p = wdgail_mod.validation_wd(
-            scene, env_cfg, self.disc_net, disc_params, rollout,
-            expert_val, k_val2,
-        )
+            post_wd, post_e, post_p = wdgail_mod.validation_wd(
+                scene, env_cfg, self.disc_net, disc_params, rollout,
+                expert_val, k_val2,
+            )
 
-        gail_rewards = wdgail_mod.relabel_rewards(
-            scene, env_cfg, self.disc_net, disc_params, rollout
-        )
-        rollout = rollout.replace(gail_rewards=gail_rewards)
+            gail_rewards = wdgail_mod.relabel_rewards(
+                scene, env_cfg, self.disc_net, disc_params, rollout
+            )
+            rollout = rollout.replace(gail_rewards=gail_rewards)
 
-        returns = compute_returns(
-            rollout.gail_rewards, rollout.env_rewards, rollout.values,
-            rollout.masks, tcfg.gamma, tcfg.gae_lambda,
-        )
+            returns = compute_returns(
+                rollout.gail_rewards, rollout.env_rewards, rollout.values,
+                rollout.masks, tcfg.gamma, tcfg.gae_lambda,
+            )
 
+        # BCGAIL: the reference computes the BC term even when its weight is
+        # zero (params_variable.json ships gailgamma=0.0, and gamma*decay
+        # stays 0) — that doubles PPO's forward/backward batches for a
+        # no-op. Skip it statically when the weight can never be nonzero;
+        # bc_loss logs as 0 (which is also its true value).
+        bc_active = tcfg.bcgail and tcfg.gail_gamma > 0.0
         policy_params, policy_opt, ppo_aux = ppo_mod.ppo_update(
             scene, env_cfg, tcfg, self.policy_net, state.policy_params,
             self.policy_optimizer, state.policy_opt, rollout, returns,
             k_ppo, state.gail_gamma,
-            expert if tcfg.bcgail else None,
+            expert if bc_active else None,
             axis_name=self.axis_name,
         )
 

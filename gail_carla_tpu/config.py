@@ -84,6 +84,8 @@ class ModelConfig:
 class TrainConfig:
     """WDGAIL outer-loop settings (``params_variable.json``)."""
 
+    algo: str = "wdgail"               # "wdgail" | "ppo" (BASELINE config #2:
+                                       # PPO-only on the env reward)
     num_env_steps: int = 10_000_000
     num_steps: int = 7200              # per update, across all envs
     n_envs: int = 16                   # reference: 10 remote CARLA servers

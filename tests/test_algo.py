@@ -122,3 +122,29 @@ def test_wdgail_update_end_to_end():
     assert np.isfinite(float(metrics2["ppo/action_loss"]))
     leaves = jax.tree.leaves(state.policy_params)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+@pytest.mark.slow
+def test_ppo_only_mode_learns_env_reward():
+    """BASELINE config #2: PPO-only (algo='ppo') — no discriminator, GAE on
+    the env (delta-completion) reward, no expert buffer required."""
+    from gail_carla_tpu.algo.learner import WDGAILLearner
+    from gail_carla_tpu.scene.scene import make_benchmark_scene
+
+    scene = make_benchmark_scene(n_routes=2, nx=3, ny=3, block=80.0,
+                                 min_length=150.0)
+    env_cfg = EnvConfig(train=True, bev_width=64)
+    model_cfg = ModelConfig(conv_channels=(8, 16), hidden_size=32,
+                            head_size=16, disc_hidden=16, dtype="float32")
+    tcfg = TrainConfig(
+        algo="ppo", n_envs=2, num_steps=64, mini_batch_size=16,
+        ppo_epoch=2, routes=(0, 1), bcgail=False,
+    )
+    learner = WDGAILLearner(scene, env_cfg, model_cfg, tcfg, expert=None)
+    state = learner.init_state()
+    state, metrics = learner.update(state)
+    assert np.isfinite(float(metrics["ppo/action_loss"]))
+    assert float(metrics["disc/pre_val_wd"]) == 0.0
+    assert "env_reward_mean" in metrics
+    state, m2 = learner.update(state)
+    assert int(state.update_i) == 2
