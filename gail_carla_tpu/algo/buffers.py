@@ -63,8 +63,10 @@ class ExpertBuffer:
         return self.actions.shape[0]
 
 
-def _decode(obs_u8):
-    return obs_u8.astype(jnp.float32) / 255.0
+def _decode(obs_stored):
+    if obs_stored.dtype == jnp.uint8:
+        return obs_stored.astype(jnp.float32) / 255.0
+    return obs_stored  # state vectors are stored as float
 
 
 def fetch_rollout_obs(scene, cfg: EnvConfig, rollout: Rollout, t_idx, n_idx):
@@ -72,6 +74,11 @@ def fetch_rollout_obs(scene, cfg: EnvConfig, rollout: Rollout, t_idx, n_idx):
     if rollout.obs is not None:
         return _decode(rollout.obs[t_idx, n_idx])
     r = jax.tree.map(lambda a: a[t_idx, n_idx], rollout.render)
+    if cfg.obs_mode == "state":
+        from gail_carla_tpu.ops.state_obs import state_observation_batch
+
+        m = rollout.metrics[t_idx, n_idx]
+        return state_observation_batch(scene, cfg, r, m)
     return render_bev_batch_auto(scene, cfg, r)
 
 
@@ -79,6 +86,10 @@ def fetch_expert_obs(scene, cfg: EnvConfig, buf: ExpertBuffer, idx):
     if buf.obs is not None:
         return _decode(buf.obs[idx])
     r = jax.tree.map(lambda a: a[idx], buf.render)
+    if cfg.obs_mode == "state":
+        from gail_carla_tpu.ops.state_obs import state_observation_batch
+
+        return state_observation_batch(scene, cfg, r, buf.metrics[idx])
     return render_bev_batch_auto(scene, cfg, r)
 
 
@@ -111,7 +122,13 @@ def build_expert_buffer(
 
     obs = None
     if materialize_obs:
-        def chunk_render(r):
+        def chunk_render(r, m):
+            if cfg.obs_mode == "state":
+                from gail_carla_tpu.ops.state_obs import (
+                    state_observation_batch,
+                )
+
+                return state_observation_batch(scene, cfg, r, m)
             return (
                 render_bev_batch_auto(scene, cfg, r) * 255.0
             ).astype(jnp.uint8)
@@ -123,7 +140,7 @@ def build_expert_buffer(
         render_fn = jax.jit(chunk_render)
         for lo in range(0, size, B):
             r = jax.tree.map(lambda a: a[lo:lo + B], render_sel)
-            chunks.append(np.asarray(render_fn(r)))
+            chunks.append(np.asarray(render_fn(r, metrics_sel[lo:lo + B])))
         obs = jnp.asarray(np.concatenate(chunks, axis=0))
 
     return ExpertBuffer(

@@ -7,7 +7,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from gail_carla_tpu.algo.rollout import _render_batch
+from gail_carla_tpu.algo.rollout import _obs_batch
 from gail_carla_tpu.config import EnvConfig
 from gail_carla_tpu.models import policy as policy_mod
 from gail_carla_tpu.scene.scene import StaticScene
@@ -34,7 +34,7 @@ def evaluate_policy(
 
     def body(carry, _):
         st, metrics, render, latched = carry
-        obs = _render_batch(scene, eval_cfg, render)
+        obs = _obs_batch(scene, eval_cfg, render, metrics)
         _, action, _ = policy_mod.act(
             net, params, obs, metrics, jax.random.PRNGKey(0),
             deterministic=True,

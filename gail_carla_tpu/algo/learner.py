@@ -44,7 +44,13 @@ class LearnerState:
 def _dummy_expert(env_cfg: EnvConfig) -> ExpertBuffer:
     from gail_carla_tpu.sim.env import RenderState
 
-    w = env_cfg.bev_width
+    if env_cfg.obs_mode == "state":
+        from gail_carla_tpu.ops.state_obs import STATE_OBS_DIM
+
+        obs = jnp.zeros((1, STATE_OBS_DIM), jnp.float32)
+    else:
+        w = env_cfg.bev_width
+        obs = jnp.zeros((1, 3, w, w), jnp.uint8)
     return ExpertBuffer(
         render=RenderState(
             xy=jnp.zeros((1, 2)), yaw=jnp.zeros((1,)),
@@ -52,7 +58,7 @@ def _dummy_expert(env_cfg: EnvConfig) -> ExpertBuffer:
             head=jnp.zeros((1,), jnp.int32),
         ),
         metrics=jnp.zeros((1, 4)),
-        obs=jnp.zeros((1, 3, w, w), jnp.uint8),
+        obs=obs,
         actions=jnp.zeros((1, 2)),
     )
 
@@ -87,7 +93,12 @@ class WDGAILLearner:
         self.expert_val = expert_val if expert_val is not None else expert
         self.store_obs = store_obs
 
-        obs_shape = (3, env_cfg.bev_width, env_cfg.bev_width)
+        if env_cfg.obs_mode == "state":
+            from gail_carla_tpu.ops.state_obs import STATE_OBS_DIM
+
+            obs_shape = (STATE_OBS_DIM,)
+        else:
+            obs_shape = (3, env_cfg.bev_width, env_cfg.bev_width)
         rng = jax.random.PRNGKey(tcfg.seed)
         k_p, k_d, self._init_rng = jax.random.split(rng, 3)
         self.policy_net, policy_params = init_policy(

@@ -14,8 +14,16 @@ from gail_carla_tpu.algo.buffers import Rollout
 from gail_carla_tpu.config import EnvConfig
 from gail_carla_tpu.models import policy as policy_mod
 from gail_carla_tpu.ops.bev import render_bev_batch_auto
+from gail_carla_tpu.ops.state_obs import state_observation_batch
 from gail_carla_tpu.scene.scene import StaticScene
 from gail_carla_tpu.sim.env import step_batch
+
+
+def _obs_batch(scene, cfg, render_state, metrics):
+    """Observation dispatch: BEV images or the state-vector fast path."""
+    if cfg.obs_mode == "state":
+        return state_observation_batch(scene, cfg, render_state, metrics)
+    return render_bev_batch_auto(scene, cfg, render_state)
 
 
 def _render_batch(scene, cfg, render_state):
@@ -38,7 +46,7 @@ def collect_rollout(
 
     def body(carry, k):
         st, metrics, render = carry
-        obs = _render_batch(scene, cfg, render)
+        obs = _obs_batch(scene, cfg, render, metrics)
         value, action, logp = policy_mod.act(net, params, obs, metrics, k)
         st2, out = step_batch(scene, cfg, st, action)
         emit = {
@@ -55,7 +63,10 @@ def collect_rollout(
             "completed": out.info["route_completed"],
         }
         if store_obs:
-            emit["obs"] = (obs * 255.0).astype(jnp.uint8)
+            emit["obs"] = (
+                (obs * 255.0).astype(jnp.uint8)
+                if cfg.obs_mode == "bev" else obs
+            )
         return (st2, out.metrics, out.render), emit
 
     keys = jax.random.split(rng, n_steps)
@@ -64,7 +75,7 @@ def collect_rollout(
     )
 
     # bootstrap value for the final obs (tools/learn.py:137-139)
-    obs_f = _render_batch(scene, cfg, render_f)
+    obs_f = _obs_batch(scene, cfg, render_f, metrics_f)
     value_f, _, _ = policy_mod.act(
         net, params, obs_f, metrics_f, jax.random.PRNGKey(0),
         deterministic=True,
@@ -81,9 +92,11 @@ def collect_rollout(
     )
     obs_all = None
     if store_obs:
-        obs_all = jnp.concatenate(
-            [tr["obs"], (obs_f[None] * 255.0).astype(jnp.uint8)], axis=0
+        obs_f_store = (
+            (obs_f * 255.0).astype(jnp.uint8)
+            if cfg.obs_mode == "bev" else obs_f
         )
+        obs_all = jnp.concatenate([tr["obs"], obs_f_store[None]], axis=0)
 
     rollout = Rollout(
         render=render_all,

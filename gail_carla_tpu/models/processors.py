@@ -25,12 +25,20 @@ def _dtype(cfg: ModelConfig):
 
 
 class ObsEncoder(nn.Module):
-    """4 x (Conv k4 s2 + LeakyReLU 0.2) on the (3, H, W) BEV obs."""
+    """4 x (Conv k4 s2 + LeakyReLU 0.2) on the (3, H, W) BEV obs, or a small
+    MLP when the observation is a state vector (B, D) — the BEV-free fast
+    path of ops/state_obs.py."""
 
     cfg: ModelConfig
 
     @nn.compact
     def __call__(self, obs):
+        if obs.ndim == 2:  # state-vector observation
+            x = obs
+            for _ in range(2):
+                x = nn.Dense(256, dtype=_dtype(self.cfg))(x)
+                x = nn.leaky_relu(x, self.cfg.leaky_slope)
+            return x.astype(jnp.float32)
         # obs: (B, 3, H, W) float32 in [0, 1] (torchvision ToTensor layout)
         x = jnp.transpose(obs, (0, 2, 3, 1))  # NHWC for TPU convs
         mean = jnp.asarray(IMAGENET_MEAN, x.dtype)

@@ -148,3 +148,29 @@ def test_ppo_only_mode_learns_env_reward():
     assert "env_reward_mean" in metrics
     state, m2 = learner.update(state)
     assert int(state.update_i) == 2
+
+
+@pytest.mark.slow
+def test_state_obs_mode_ppo():
+    """obs_mode='state': vector observations end to end (MLP encoder,
+    stored-as-float rollout obs, PPO-only learner)."""
+    from gail_carla_tpu.algo.learner import WDGAILLearner
+    from gail_carla_tpu.ops.state_obs import STATE_OBS_DIM
+    from gail_carla_tpu.scene.scene import make_benchmark_scene
+
+    scene = make_benchmark_scene(n_routes=2, nx=3, ny=3, block=80.0,
+                                 min_length=150.0)
+    env_cfg = EnvConfig(train=True, obs_mode="state")
+    model_cfg = ModelConfig(hidden_size=64, head_size=32, dtype="float32")
+    tcfg = TrainConfig(
+        algo="ppo", n_envs=4, num_steps=256, mini_batch_size=32,
+        ppo_epoch=2, routes=(0, 1), bcgail=False, lr=3e-4,
+    )
+    learner = WDGAILLearner(scene, env_cfg, model_cfg, tcfg, expert=None)
+    state = learner.init_state()
+    rews = []
+    for _ in range(4):
+        state, metrics = learner.update(state)
+        rews.append(float(metrics["env_reward_mean"]))
+    assert all(np.isfinite(r) for r in rews)
+    assert rews[-1] > rews[0], rews  # dense reward is quickly learnable
