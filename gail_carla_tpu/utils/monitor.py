@@ -57,9 +57,12 @@ class EnvMonitor:
             }
             for k in self.FIELDS[2:]:
                 v = info.get(k, "")
-                row[k] = (
-                    float(v) if isinstance(v, (int, float, bool)) else v
-                )
+                if isinstance(v, (bool, int)):
+                    row[k] = int(v)
+                elif isinstance(v, float):
+                    row[k] = v
+                else:
+                    row[k] = v
             self._writers[i].writerow(row)
             self._files[i].flush()
 
