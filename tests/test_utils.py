@@ -73,3 +73,17 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored["a"]), [0, 1, 2, 3])
     assert restored["empty"].shape == (0, 2)
     assert ck.latest_checkpoint(str(tmp_path)).endswith("update_3")
+
+
+def test_export_map_h5_roundtrip(tmp_path):
+    from gail_carla_tpu.tools.export_map import check_h5_map, export_map
+
+    path = export_map(str(tmp_path / "GridTown.h5"), nx=3, ny=3,
+                      block=80.0)
+    assert check_h5_map(path)
+    import h5py
+
+    with h5py.File(path) as hf:
+        road = hf["road"][:]
+        assert road.max() == 255 and (road > 0).mean() > 0.02
+        assert hf["lane_marking_white_broken"][:].max() == 255
