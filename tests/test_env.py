@@ -115,7 +115,7 @@ def test_expert_completes_routes(scene):
     rng = jax.random.PRNGKey(5)
     route_ids = jnp.arange(3, dtype=jnp.int32)
     demos = generate_demos(
-        scene, cfg, rng, route_ids, n_steps=1500, with_noise=False
+        scene, cfg, rng, route_ids, n_steps=1000, with_noise=False
     )
     valid = np.asarray(demos.valid)
     # every env produced at least one completed episode
@@ -133,7 +133,7 @@ def test_expert_with_noise_still_completes(scene):
     cfg = EnvConfig(train=False)
     demos = generate_demos(
         scene, cfg, jax.random.PRNGKey(6),
-        jnp.zeros((2,), jnp.int32), n_steps=1500, with_noise=True,
+        jnp.zeros((2,), jnp.int32), n_steps=1000, with_noise=True,
     )
     valid = np.asarray(demos.valid)
     assert valid.any(), "noisy expert never completed the route"

@@ -69,7 +69,7 @@ def test_exporter_and_loader_roundtrip(scene, tmp_path, monkeypatch):
 
     gen_trajectories(
         out_dir=str(tmp_path), traj_name="t", n_routes=1, n_eps=1,
-        max_steps=60, with_cameras=True,
+        max_steps=25, with_cameras=True,
         scene_kwargs=dict(n_routes=2, nx=3, ny=3, block=80.0,
                           min_length=150.0),
     )
@@ -83,10 +83,10 @@ def test_exporter_and_loader_roundtrip(scene, tmp_path, monkeypatch):
     assert obs.shape[1:] == (3, 192, 192)
     assert metrics.shape[1:] == (4,)
     assert actions.shape[1:] == (2,)
-    assert obs.shape[0] == 60
+    assert obs.shape[0] == 25
 
     buf = expert_buffer_from_tree(str(tmp_path / "t"), [0])
-    assert buf.size == 60
+    assert buf.size == 25
     assert buf.obs is not None
 
     # episode.json matches the reference's pandas orient: columns of dicts
