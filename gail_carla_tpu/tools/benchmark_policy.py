@@ -1,0 +1,119 @@
+"""Leaderboard-style policy benchmark: deterministic evaluation over every
+route with the reference's scoring (score_route x penalty, per-km infraction
+rates — ``ego_vehicle_handler.py:208-248``). The reference's closest
+equivalent is running tools/evaluation.py per route and reading the CSVs.
+
+Usage: python -m gail_carla_tpu.tools.benchmark_policy [--ckpt DIR]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def benchmark(ckpt_dir=None, episodes_per_route: int = 1,
+              scene_kwargs=None, max_steps: int = 2400):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gail_carla_tpu.algo.rollout import _obs_batch
+    from gail_carla_tpu.config import EnvConfig, ModelConfig
+    from gail_carla_tpu.models import policy as policy_mod
+    from gail_carla_tpu.models.policy import init_policy
+    from gail_carla_tpu.scene.scene import make_benchmark_scene
+    from gail_carla_tpu.sim.env import reset_batch, step_batch
+
+    scene = make_benchmark_scene(**(scene_kwargs or {}))
+    cfg = EnvConfig(train=False)
+    net, params = init_policy(
+        jax.random.PRNGKey(0), ModelConfig(),
+        (3, cfg.bev_width, cfg.bev_width),
+    )
+    if ckpt_dir:
+        from gail_carla_tpu.utils import checkpoint as ckpt_mod
+
+        latest = ckpt_mod.latest_checkpoint(ckpt_dir) or ckpt_dir
+        restored, _ = ckpt_mod.restore_checkpoint(
+            latest, {"params": params}
+        )
+        params = restored["params"]
+
+    R = scene.n_routes
+    route_ids = jnp.arange(R, dtype=jnp.int32)
+
+    @jax.jit
+    def run(rng):
+        states, metrics, render = reset_batch(scene, cfg, rng, route_ids)
+
+        def body(carry, _):
+            st, metrics, render, latched = carry
+            obs = _obs_batch(scene, cfg, render, metrics)
+            _, action, _ = policy_mod.act(
+                net, params, obs, metrics, jax.random.PRNGKey(0),
+                deterministic=True,
+            )
+            st2, out = step_batch(scene, cfg, st, action)
+            first = out.done & (~latched["done"])
+
+            def latch(key):
+                return jnp.where(first, out.info[key], latched[key])
+
+            latched = {
+                "done": latched["done"] | out.done,
+                "score_route": latch("score_route"),
+                "score_penalty": latch("score_penalty"),
+                "score_composed": latch("score_composed"),
+                "episode_reward": latch("episode_reward"),
+                "episode_length": latch("episode_length"),
+                "route_completed": latch("route_completed"),
+                "collision": latch("collision"),
+            }
+            return (st2, out.metrics, out.render, latched), None
+
+        latched0 = {
+            "done": jnp.zeros((R,), bool),
+            "score_route": jnp.zeros((R,)),
+            "score_penalty": jnp.zeros((R,)),
+            "score_composed": jnp.zeros((R,)),
+            "episode_reward": jnp.zeros((R,)),
+            "episode_length": jnp.zeros((R,), jnp.int32),
+            "route_completed": jnp.zeros((R,), bool),
+            "collision": jnp.zeros((R,), bool),
+        }
+        (_, _, _, latched), _ = jax.lax.scan(
+            body, (states, metrics, render, latched0), None,
+            length=max_steps,
+        )
+        return latched
+
+    out = {k: np.asarray(v) for k, v in run(jax.random.PRNGKey(1)).items()}
+    rows = []
+    for r in range(R):
+        rows.append({
+            "route": r,
+            "driving_score": round(float(out["score_composed"][r]), 1),
+            "route_score": round(float(out["score_route"][r]), 1),
+            "penalty": round(float(out["score_penalty"][r]), 1),
+            "reward": round(float(out["episode_reward"][r]), 3),
+            "steps": int(out["episode_length"][r]),
+            "completed": bool(out["route_completed"][r]),
+            "collision": bool(out["collision"][r]),
+        })
+        print(rows[-1], file=sys.stderr)
+    mean_ds = float(np.mean([r["driving_score"] for r in rows]))
+    print(json.dumps({"mean_driving_score": round(mean_ds, 2),
+                      "routes": rows}))
+    return rows
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", default=None)
+    args = p.parse_args(argv)
+    benchmark(args.ckpt)
+
+
+if __name__ == "__main__":
+    main()

@@ -139,3 +139,36 @@ def test_pallas_bev_kernel_matches_xla_interpret(scene):
     b = np.asarray(render_bev_pallas_batch(scene, cfg, render,
                                            interpret=True))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_train_from_exported_files(scene, tmp_path):
+    """Full interop loop: export PNG demos (reference format) -> load them
+    -> run a WDGAIL update on the file-backed expert buffer."""
+    from gail_carla_tpu.algo.learner import WDGAILLearner
+    from gail_carla_tpu.config import ModelConfig, TrainConfig
+    from gail_carla_tpu.tools.expert_dataset import expert_buffer_from_tree
+    from gail_carla_tpu.tools.gen_trajectories import gen_trajectories
+
+    gen_trajectories(
+        out_dir=str(tmp_path), traj_name="t", n_routes=1, n_eps=1,
+        max_steps=80, with_cameras=False,
+        scene_kwargs=dict(n_routes=2, nx=3, ny=3, block=80.0,
+                          min_length=150.0),
+    )
+    expert = expert_buffer_from_tree(str(tmp_path / "t"), [0])
+    assert expert.size == 80
+
+    env_cfg = EnvConfig(train=True)  # 192px obs matches the PNGs
+    model_cfg = ModelConfig(conv_channels=(8, 16), hidden_size=32,
+                            head_size=16, disc_hidden=16, dtype="float32")
+    tcfg = TrainConfig(
+        n_envs=2, num_steps=32, mini_batch_size=8, ppo_epoch=1,
+        gail_batch_size=8, gail_pre_epoch=1, gail_epoch=1, gail_thre=1,
+        routes=(0, 1),
+    )
+    learner = WDGAILLearner(scene, env_cfg, model_cfg, tcfg, expert)
+    state = learner.init_state()
+    state, metrics = learner.update(state)
+    assert np.isfinite(float(metrics["disc/dis_loss"]))
+    assert float(metrics["gail_reward_mean"]) > 0.0
