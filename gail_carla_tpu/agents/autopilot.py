@@ -108,12 +108,63 @@ def autopilot_act(
     ap: AutopilotState,
     world: WorldState,
     target_speed: float = TARGET_SPEED,
+    obey_signals: bool = False,
 ):
     """The expert (BasicAgent, carla_exp.py:49): LocalPlanner over the ego's
-    truncated dense route."""
+    truncated dense route.
+
+    ``obey_signals=False`` matches the reference exactly — BasicAgent's
+    red-light/hazard checks are disabled (basic_agent.py:32), so its demos
+    run signals and so do policies trained on them. ``obey_signals=True``
+    additionally caps the target speed with the ValeoAction-style ramps for
+    red/yellow lights, un-completed stop signs and lead hazards — a
+    leaderboard-clean expert the reference never had."""
+    tspeed = jnp.asarray(target_speed)
+    if obey_signals:
+        from gail_carla_tpu.sim import signals
+        from gail_carla_tpu.sim.rewards import hazard_vehicle, hazard_walker
+
+        ego = world.ego
+        tl_states = signals.light_states(
+            scene, world.step.astype(jnp.float32) * 0.1
+        )
+        state, loc, idx = signals.affecting_light(
+            scene, ego.xy, ego.yaw, tl_states, dist_threshold=40.0
+        )
+
+        # Coast-to-stop speed cap: the action space has no brake
+        # (carla_env.py:93-94), so slowing relies on engine braking
+        # (dynamics.engine_brake): v_max(d) = sqrt(2 a (d - margin)).
+        def cap(dist, margin, a=0.45):
+            return jnp.sqrt(
+                2.0 * a * jnp.maximum(dist - margin, 0.0)
+            )
+
+        red = (state == signals.RED) | (state == signals.YELLOW)
+        spd_rl = jnp.where(
+            red, cap(jnp.linalg.norm(loc), 4.0), tspeed
+        )
+
+        ss_active = (world.stop_target >= 0) & (~world.stop_completed)
+        tgt = jnp.maximum(world.stop_target, 0)
+        d_stop = jnp.linalg.norm(scene.ss_center[tgt] - ego.xy)
+        spd_stop = jnp.where(ss_active, cap(d_stop, 2.0), tspeed)
+
+        veh_found, d_veh = hazard_vehicle(world.traffic, ego.xy, ego.yaw)
+        ped_found, d_ped = hazard_walker(world.traffic, ego.xy, ego.yaw)
+        spd_veh = jnp.where(veh_found, cap(d_veh, 8.0), tspeed)
+        spd_ped = jnp.where(ped_found, cap(d_ped, 6.0), tspeed)
+
+        tspeed = jnp.minimum(
+            tspeed,
+            jnp.minimum(
+                jnp.minimum(spd_rl, spd_stop), jnp.minimum(spd_veh, spd_ped)
+            ),
+        )
+
     return local_planner_act(
         scene.route_xy, scene.route_cmd, ap, world.ego,
-        world.route_id, world.head, target_speed,
+        world.route_id, world.head, tspeed,
     )
 
 

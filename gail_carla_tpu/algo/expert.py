@@ -60,6 +60,7 @@ def generate_demos(
     n_steps: int,
     target_speed: float = 6.0,
     with_noise: bool = True,
+    obey_signals: bool = False,
 ) -> DemoBatch:
     """Drive the scripted expert for ``n_steps`` ticks on each route
     (carla_exp caps at 6000). Marks steps of episodes that did not complete
@@ -79,7 +80,9 @@ def generate_demos(
     def body(carry, step_rng):
         states, ap, thr_ns, st_ns, metrics, render = carry
         ap, actions = jax.vmap(
-            lambda a, w: autopilot_act(scene, a, w, target_speed)
+            lambda a, w: autopilot_act(
+                scene, a, w, target_speed, obey_signals
+            )
         )(ap, states)
 
         if with_noise:

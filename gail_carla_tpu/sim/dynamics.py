@@ -51,6 +51,8 @@ class VehicleParams:
     max_speed: float = 30.0       # m/s, engine power fades linearly to here
     roll_drag: float = 0.08       # m/s^2, constant rolling resistance
     quad_drag: float = 0.0035     # 1/m, aerodynamic term (a -= quad*v^2)
+    engine_brake: float = 0.6     # m/s^2 at zero throttle (UE4 vehicles
+                                  # coast down noticeably; scaled by 1-throttle)
     half_length: float = 2.45     # m, bounding-box half extent x
     half_width: float = 1.06      # m, bounding-box half extent y
     substeps: int = 4             # Euler substeps per 0.1 s tick
@@ -89,6 +91,7 @@ def step_vehicle(
         accel = (
             throttle * params.max_accel * (1.0 - v / params.max_speed)
             - brake * params.max_brake
+            - (1.0 - throttle) * params.engine_brake * jnp.sign(v)
             - params.roll_drag * jnp.sign(v)
             - params.quad_drag * v * jnp.abs(v)
         )

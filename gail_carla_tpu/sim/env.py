@@ -338,8 +338,12 @@ def step_env(
     from gail_carla_tpu.sim import signals
     from gail_carla_tpu.sim import terminals as term
 
+    # (steer, throttle) per carla_env.py:120-126, or (steer, throttle,
+    # brake) per the multi-agent action space (carla_multi_agent_env.py:
+    # 42-46) — shape decided statically
     steer, throttle = action[0], action[1]
-    ego = step_vehicle(state.ego, steer, throttle, 0.0, cfg.dt, params)
+    brake = action[2] if action.shape[0] > 2 else jnp.zeros(())
+    ego = step_vehicle(state.ego, steer, throttle, brake, cfg.dt, params)
 
     head, last_head, dist_traveled = _advance_cursor(scene, state, ego.xy)
     rid = state.route_id

@@ -173,3 +173,15 @@ def test_determinism(scene):
     np.testing.assert_array_equal(
         np.asarray(out1.metrics), np.asarray(out2.metrics)
     )
+
+
+def test_compliant_expert_obeys_signals(scene):
+    """obey_signals=True: the braking-profile expert must eliminate
+    stop-sign infractions and keep completing routes (the default expert is
+    signal-blind like the reference's BasicAgent)."""
+    cfg = EnvConfig(train=False)
+    demos = generate_demos(
+        scene, cfg, jax.random.PRNGKey(11), jnp.zeros((1,), jnp.int32),
+        n_steps=1500, with_noise=False, obey_signals=True,
+    )
+    assert np.asarray(demos.valid).any(), "compliant expert never completed"
