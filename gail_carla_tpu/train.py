@@ -60,7 +60,7 @@ def make_presets():
 
 def run(env_cfg, model_cfg, tcfg, scene_kwargs, demo_steps,
         max_updates=None, log_dir="runs/wdgail", ckpt_dir=None,
-        use_sharding=None, profile=False):
+        use_sharding=None, profile=False, demo_obey_signals=False):
     scene = make_benchmark_scene(**scene_kwargs)
     writer = MetricsWriter(log_dir)
 
@@ -68,11 +68,13 @@ def run(env_cfg, model_cfg, tcfg, scene_kwargs, demo_steps,
     routes = jnp.asarray(tcfg.routes, jnp.int32)
     demo_cfg = dataclasses.replace(env_cfg, train=False)
     demos = generate_demos(
-        scene, demo_cfg, jax.random.PRNGKey(1337), routes, demo_steps
+        scene, demo_cfg, jax.random.PRNGKey(1337), routes, demo_steps,
+        obey_signals=demo_obey_signals,
     )
     demos_val = generate_demos(
         scene, demo_cfg, jax.random.PRNGKey(7331),
         jnp.asarray([tcfg.eval_route], jnp.int32), demo_steps,
+        obey_signals=demo_obey_signals,
     )
     # cap the train buffer near the reference's demo size (~7200 steps,
     # params_variable.json:13-14 routes x ~720-step episodes); valid steps
@@ -162,6 +164,8 @@ def main(argv=None):
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of update 2")
+    p.add_argument("--compliant-demos", action="store_true",
+                   help="expert demos obey signals (obey_signals=True)")
     args = p.parse_args(argv)
 
     preset = make_presets()[args.preset]
@@ -172,7 +176,7 @@ def main(argv=None):
         preset["env"], preset["model"], tcfg, preset["scene"],
         preset["demo_steps"], max_updates=args.max_updates,
         log_dir=args.log_dir, ckpt_dir=args.ckpt_dir,
-        profile=args.profile,
+        profile=args.profile, demo_obey_signals=args.compliant_demos,
     )
 
 
