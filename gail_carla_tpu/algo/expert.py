@@ -35,8 +35,9 @@ class DemoBatch:
     valid: jnp.ndarray      # (T, N) bool — inside a successful episode
 
     def flatten(self):
+        t, n = self.actions.shape[:2]
         flat_render = jax.tree.map(
-            lambda a: a.reshape((-1,) + a.shape[2:]), self.render
+            lambda a: a.reshape((t * n,) + a.shape[2:]), self.render
         )
         return (
             flat_render,

@@ -49,13 +49,18 @@ def _dummy_expert(env_cfg: EnvConfig) -> ExpertBuffer:
 
         obs = jnp.zeros((1, STATE_OBS_DIM), jnp.float32)
     else:
+        c = 6 if env_cfg.obs_mode == "bev6" else 3
         w = env_cfg.bev_width
-        obs = jnp.zeros((1, 3, w, w), jnp.uint8)
+        obs = jnp.zeros((1, c, w, w), jnp.uint8)
     return ExpertBuffer(
         render=RenderState(
             xy=jnp.zeros((1, 2)), yaw=jnp.zeros((1,)),
             route_id=jnp.zeros((1,), jnp.int32),
             head=jnp.zeros((1,), jnp.int32),
+            step=jnp.zeros((1,), jnp.int32),
+            stop_idx=jnp.full((1,), -1, jnp.int32),
+            npc_pose=jnp.zeros((1, 0, 3)),
+            walker_pose=jnp.zeros((1, 0, 3)),
         ),
         metrics=jnp.zeros((1, 4)),
         obs=obs,
@@ -97,6 +102,8 @@ class WDGAILLearner:
             from gail_carla_tpu.ops.state_obs import STATE_OBS_DIM
 
             obs_shape = (STATE_OBS_DIM,)
+        elif env_cfg.obs_mode == "bev6":
+            obs_shape = (6, env_cfg.bev_width, env_cfg.bev_width)
         else:
             obs_shape = (3, env_cfg.bev_width, env_cfg.bev_width)
         rng = jax.random.PRNGKey(tcfg.seed)

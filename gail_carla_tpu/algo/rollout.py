@@ -20,9 +20,13 @@ from gail_carla_tpu.sim.env import step_batch
 
 
 def _obs_batch(scene, cfg, render_state, metrics):
-    """Observation dispatch: BEV images or the state-vector fast path."""
+    """Observation dispatch: BEV images, 6-channel BEV, or state vectors."""
     if cfg.obs_mode == "state":
         return state_observation_batch(scene, cfg, render_state, metrics)
+    if cfg.obs_mode == "bev6":
+        from gail_carla_tpu.ops.bev6 import render_bev6_batch
+
+        return render_bev6_batch(scene, cfg, render_state)
     return render_bev_batch_auto(scene, cfg, render_state)
 
 

@@ -39,10 +39,15 @@ class ObsEncoder(nn.Module):
                 x = nn.Dense(256, dtype=_dtype(self.cfg))(x)
                 x = nn.leaky_relu(x, self.cfg.leaky_slope)
             return x.astype(jnp.float32)
-        # obs: (B, 3, H, W) float32 in [0, 1] (torchvision ToTensor layout)
+        # obs: (B, C, H, W) float32 in [0, 1] (torchvision ToTensor layout);
+        # channels beyond the reference's 3 (the bev6 signal/actor masks)
+        # are normalised with 0.5/0.25
+        c = obs.shape[1]
         x = jnp.transpose(obs, (0, 2, 3, 1))  # NHWC for TPU convs
-        mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
-        std = jnp.asarray(IMAGENET_STD, x.dtype)
+        mean = jnp.asarray(
+            IMAGENET_MEAN + (0.5,) * (c - 3), x.dtype
+        )
+        std = jnp.asarray(IMAGENET_STD + (0.25,) * (c - 3), x.dtype)
         x = (x - mean) / std
         x = x.astype(_dtype(self.cfg))
         for ch in self.cfg.conv_channels:

@@ -153,6 +153,19 @@ def render_bev(
     return img.reshape(3, w, w)
 
 
+def _flatten_lead(tree, lead_shape):
+    """reshape(-1, ...) fails on zero-size leaves (NPC arrays with K=0):
+    infer the leading size explicitly instead."""
+    import math
+
+    n = math.prod(lead_shape) if lead_shape else 1
+    import jax
+
+    return jax.tree.map(
+        lambda a: a.reshape((n,) + a.shape[len(lead_shape):]), tree
+    )
+
+
 def render_bev_batch_auto(scene, cfg, render_state):
     """Backend-dispatching batch renderer: the fused Pallas kernel on TPU
     (ops/bev_pallas.py — ~3x the XLA version, bit-identical output), the
@@ -172,9 +185,7 @@ def render_bev_batch(scene, cfg, render_state, chunk: int = 256):
     is ~5 MB/env, so an unchunked 4096-env render would materialise ~19 GB
     and OOM the chip."""
     lead = render_state.yaw.shape
-    flat = jax.tree.map(
-        lambda a: a.reshape((-1,) + a.shape[len(lead):]), render_state
-    )
+    flat = _flatten_lead(render_state, lead)
     n = flat.yaw.shape[0]
     vrender = jax.vmap(
         lambda r: render_bev(scene, cfg, r.xy, r.yaw, r.route_id, r.head)

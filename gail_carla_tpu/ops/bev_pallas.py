@@ -118,10 +118,10 @@ def render_bev_pallas_batch(
     """(N, 3, W, W) float32 — drop-in for ops/bev.py::render_bev_batch on
     TPU (same channel semantics; ops/bev.py remains the CPU/interpret
     reference implementation the tests compare against)."""
+    from gail_carla_tpu.ops.bev import _flatten_lead
+
     lead = render_state.yaw.shape
-    flat = jax.tree.map(
-        lambda a: a.reshape((-1,) + a.shape[len(lead):]), render_state
-    )
+    flat = _flatten_lead(render_state, lead)
     n = flat.yaw.shape[0]
     w = cfg.bev_width
 

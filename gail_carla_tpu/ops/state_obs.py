@@ -52,10 +52,10 @@ def state_observation(scene: StaticScene, cfg: EnvConfig, render, metrics):
 
 
 def state_observation_batch(scene, cfg, render_state, metrics):
+    from gail_carla_tpu.ops.bev import _flatten_lead
+
     lead = render_state.yaw.shape
-    flat_r = jax.tree.map(
-        lambda a: a.reshape((-1,) + a.shape[len(lead):]), render_state
-    )
+    flat_r = _flatten_lead(render_state, lead)
     flat_m = metrics.reshape((-1, 4))
     obs = jax.vmap(
         lambda r, m: state_observation(scene, cfg, r, m)

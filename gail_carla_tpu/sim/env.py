@@ -43,12 +43,20 @@ _CURSOR_WINDOW = 6
 @struct.dataclass
 class RenderState:
     """Everything needed to (re-)render this step's policy observation.
-    Rollouts store this instead of images; see ops/bev.py."""
+    Rollouts store this instead of images; see ops/bev.py.
+
+    The signal/actor fields exist for the 6-channel ``bev6`` observation
+    (lights + dynamic actors visible to the policy — the capability the
+    reference's mask-0-only obs lacks); with zero NPCs they cost 2 ints."""
 
     xy: jnp.ndarray        # (2,)
     yaw: jnp.ndarray       # ()
     route_id: jnp.ndarray  # () i32
     head: jnp.ndarray      # () i32 route cursor (start of the route band)
+    step: jnp.ndarray      # () i32 sim step (light phase = f(step * dt))
+    stop_idx: jnp.ndarray  # () i32 active un-completed stop sign, -1 none
+    npc_pose: jnp.ndarray = None     # (K, 3) x, y, yaw
+    walker_pose: jnp.ndarray = None  # (W, 3)
 
 
 @struct.dataclass
@@ -220,11 +228,22 @@ def _observe(scene, cfg: EnvConfig, state: WorldState):
     metrics = jnp.stack(
         [target_gps[0], target_gps[1], speed, command.astype(jnp.float32)]
     )
+    t = state.traffic
     render = RenderState(
         xy=state.ego.xy,
         yaw=state.ego.yaw,
         route_id=state.route_id,
         head=state.head,
+        step=state.step,
+        stop_idx=jnp.where(
+            state.stop_completed, -1, state.stop_target
+        ).astype(jnp.int32),
+        npc_pose=jnp.concatenate(
+            [t.veh.xy, t.veh.yaw[:, None]], axis=1
+        ),
+        walker_pose=jnp.concatenate(
+            [t.walker_xy, t.walker_yaw[:, None]], axis=1
+        ),
     )
     state = state.replace(plan_idx=plan_idx, rng=rng)
     return state, metrics, render

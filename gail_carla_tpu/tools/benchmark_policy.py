@@ -13,7 +13,8 @@ import sys
 
 
 def benchmark(ckpt_dir=None, episodes_per_route: int = 1,
-              scene_kwargs=None, max_steps: int = 2400):
+              scene_kwargs=None, max_steps: int = 2400,
+              obs_mode: str = "bev"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -26,10 +27,11 @@ def benchmark(ckpt_dir=None, episodes_per_route: int = 1,
     from gail_carla_tpu.sim.env import reset_batch, step_batch
 
     scene = make_benchmark_scene(**(scene_kwargs or {}))
-    cfg = EnvConfig(train=False)
+    cfg = EnvConfig(train=False, obs_mode=obs_mode)
+    c = 6 if obs_mode == "bev6" else 3
     net, params = init_policy(
         jax.random.PRNGKey(0), ModelConfig(),
-        (3, cfg.bev_width, cfg.bev_width),
+        (c, cfg.bev_width, cfg.bev_width),
     )
     if ckpt_dir:
         from gail_carla_tpu.utils import checkpoint as ckpt_mod
