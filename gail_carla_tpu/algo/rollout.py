@@ -67,9 +67,11 @@ def collect_rollout(
             "completed": out.info["route_completed"],
         }
         if store_obs:
+            # image obs quantize to u8 (lossless for mask values);
+            # state vectors stay float
             emit["obs"] = (
-                (obs * 255.0).astype(jnp.uint8)
-                if cfg.obs_mode == "bev" else obs
+                obs if cfg.obs_mode == "state"
+                else (obs * 255.0).astype(jnp.uint8)
             )
         return (st2, out.metrics, out.render), emit
 
@@ -97,8 +99,8 @@ def collect_rollout(
     obs_all = None
     if store_obs:
         obs_f_store = (
-            (obs_f * 255.0).astype(jnp.uint8)
-            if cfg.obs_mode == "bev" else obs_f
+            obs_f if cfg.obs_mode == "state"
+            else (obs_f * 255.0).astype(jnp.uint8)
         )
         obs_all = jnp.concatenate([tr["obs"], obs_f_store[None]], axis=0)
 
