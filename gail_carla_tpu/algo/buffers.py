@@ -80,9 +80,9 @@ def fetch_rollout_obs(scene, cfg: EnvConfig, rollout: Rollout, t_idx, n_idx):
         m = rollout.metrics[t_idx, n_idx]
         return state_observation_batch(scene, cfg, r, m)
     if cfg.obs_mode == "bev6":
-        from gail_carla_tpu.ops.bev6 import render_bev6_batch
+        from gail_carla_tpu.ops.bev6 import render_bev6_batch_auto
 
-        return render_bev6_batch(scene, cfg, r)
+        return render_bev6_batch_auto(scene, cfg, r)
     return render_bev_batch_auto(scene, cfg, r)
 
 
@@ -95,9 +95,9 @@ def fetch_expert_obs(scene, cfg: EnvConfig, buf: ExpertBuffer, idx):
 
         return state_observation_batch(scene, cfg, r, buf.metrics[idx])
     if cfg.obs_mode == "bev6":
-        from gail_carla_tpu.ops.bev6 import render_bev6_batch
+        from gail_carla_tpu.ops.bev6 import render_bev6_batch_auto
 
-        return render_bev6_batch(scene, cfg, r)
+        return render_bev6_batch_auto(scene, cfg, r)
     return render_bev_batch_auto(scene, cfg, r)
 
 
@@ -138,10 +138,10 @@ def build_expert_buffer(
 
                 return state_observation_batch(scene, cfg, r, m)
             if cfg.obs_mode == "bev6":
-                from gail_carla_tpu.ops.bev6 import render_bev6_batch
+                from gail_carla_tpu.ops.bev6 import render_bev6_batch_auto
 
                 return (
-                    render_bev6_batch(scene, cfg, r) * 255.0
+                    render_bev6_batch_auto(scene, cfg, r) * 255.0
                 ).astype(jnp.uint8)
             return (
                 render_bev_batch_auto(scene, cfg, r) * 255.0

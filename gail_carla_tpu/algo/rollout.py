@@ -24,9 +24,9 @@ def _obs_batch(scene, cfg, render_state, metrics):
     if cfg.obs_mode == "state":
         return state_observation_batch(scene, cfg, render_state, metrics)
     if cfg.obs_mode == "bev6":
-        from gail_carla_tpu.ops.bev6 import render_bev6_batch
+        from gail_carla_tpu.ops.bev6 import render_bev6_batch_auto
 
-        return render_bev6_batch(scene, cfg, render_state)
+        return render_bev6_batch_auto(scene, cfg, render_state)
     return render_bev_batch_auto(scene, cfg, render_state)
 
 

@@ -79,6 +79,18 @@ def render_bev6(scene: StaticScene, cfg: EnvConfig, r) -> jnp.ndarray:
     return jnp.concatenate([base, extra], axis=0)
 
 
+def render_bev6_batch_auto(scene, cfg, render_state):
+    """Backend dispatch like ops/bev.py: Pallas kernel on TPU (2.5x the XLA
+    path, exact match), XLA elsewhere."""
+    import jax
+
+    if jax.default_backend() in ("tpu", "axon"):
+        from gail_carla_tpu.ops.bev6_pallas import render_bev6_pallas_batch
+
+        return render_bev6_pallas_batch(scene, cfg, render_state)
+    return render_bev6_batch(scene, cfg, render_state)
+
+
 def render_bev6_batch(scene, cfg, render_state, chunk: int = 256):
     from gail_carla_tpu.ops.bev import _flatten_lead
 

@@ -1,0 +1,295 @@
+"""Pallas TPU kernel for the 6-channel bev6 observation.
+
+Extends ops/bev_pallas.py with three streamed mask channels:
+- signals: stop-line capsules taking per-line values (80/170/255 by current
+  phase, computed outside the kernel since phase = f(sim_time)) + the active
+  stop-sign box at 255;
+- vehicles / walkers: point-in-OBB over the current-frame actor boxes.
+
+Same VMEM-accumulator structure as the 3-channel kernel: all per-pixel
+intermediates stay on-chip; scalars stream from VMEM/SMEM refs.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gail_carla_tpu.config import EnvConfig
+from gail_carla_tpu.ops import bev as bev_xla
+from gail_carla_tpu.ops.bev_full import TL_LINE_HALF_W, WALKER_HALF
+from gail_carla_tpu.scene.scene import StaticScene
+from gail_carla_tpu.sim import signals
+from gail_carla_tpu.sim.dynamics import DEFAULT_VEHICLE
+
+
+def _kernel(
+    pose_ref,      # (1, 1, 4) f32 [x, y, cos, sin]                 VMEM
+    road_ref,      # (1, Mr, 4)                                      VMEM
+    lane_ref,      # (1, Ml, 4)                                      VMEM
+    laneval_ref,   # (1, 1, Ml)                                      SMEM
+    route_ref,     # (1, K, 4)                                       VMEM
+    tl_ref,        # (1, T, 4) stop-line segs                        VMEM
+    tlval_ref,     # (1, 1, T) per-line value (0 = not drawn)        SMEM
+    box_ref,       # (1, B, 8) x, y, cos, sin, hl, hw, ch, pad       VMEM
+    out_ref,       # (1, 6, W, W)                                    VMEM
+    *,
+    w: int,
+    ppm: float,
+    ptb: int,
+    half_lane: float,
+    route_half: float,
+    lane_half: float,
+    tl_half: float,
+):
+    x = pose_ref[0, 0, 0]
+    y = pose_ref[0, 0, 1]
+    c = pose_ref[0, 0, 2]
+    s = pose_ref[0, 0, 3]
+
+    scale = (w / (w - 1.0)) / ppm
+    rows = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1).astype(jnp.float32)
+    tl_x = x + ((w - ptb) / ppm) * c - (0.5 * w / ppm) * (-s)
+    tl_y = y + ((w - ptb) / ppm) * s - (0.5 * w / ppm) * c
+    pxx = tl_x + cols * scale * (-s) - rows * scale * c
+    pxy = tl_y + cols * scale * c - rows * scale * s
+
+    big = jnp.float32(1.0e12)
+
+    def min_d2_over(seg_ref):
+        n = seg_ref.shape[1]
+
+        def body(i, acc):
+            ax = seg_ref[0, i, 0]
+            ay = seg_ref[0, i, 1]
+            bx = seg_ref[0, i, 2]
+            by = seg_ref[0, i, 3]
+            abx = bx - ax
+            aby = by - ay
+            denom = abx * abx + aby * aby + 1e-9
+            t = jnp.clip(
+                ((pxx - ax) * abx + (pxy - ay) * aby) / denom, 0.0, 1.0
+            )
+            dx = pxx - (ax + t * abx)
+            dy = pxy - (ay + t * aby)
+            return jnp.minimum(acc, dx * dx + dy * dy)
+
+        return jax.lax.fori_loop(
+            0, n, body, jnp.full((w, w), big, jnp.float32)
+        )
+
+    road_d2 = min_d2_over(road_ref)
+    route_d2 = min_d2_over(route_ref)
+
+    def lane_body(i, acc):
+        ax = lane_ref[0, i, 0]
+        ay = lane_ref[0, i, 1]
+        bx = lane_ref[0, i, 2]
+        by = lane_ref[0, i, 3]
+        abx = bx - ax
+        aby = by - ay
+        denom = abx * abx + aby * aby + 1e-9
+        t = jnp.clip(
+            ((pxx - ax) * abx + (pxy - ay) * aby) / denom, 0.0, 1.0
+        )
+        dx = pxx - (ax + t * abx)
+        dy = pxy - (ay + t * aby)
+        hit = (dx * dx + dy * dy) <= lane_half * lane_half
+        return jnp.maximum(acc, jnp.where(hit, laneval_ref[0, 0, i], 0.0))
+
+    lane_v = jax.lax.fori_loop(
+        0, lane_ref.shape[1], lane_body, jnp.zeros((w, w), jnp.float32)
+    )
+
+    # --- signals: valued stop-line capsules ---
+    def tl_body(i, acc):
+        ax = tl_ref[0, i, 0]
+        ay = tl_ref[0, i, 1]
+        bx = tl_ref[0, i, 2]
+        by = tl_ref[0, i, 3]
+        abx = bx - ax
+        aby = by - ay
+        denom = abx * abx + aby * aby + 1e-9
+        t = jnp.clip(
+            ((pxx - ax) * abx + (pxy - ay) * aby) / denom, 0.0, 1.0
+        )
+        dx = pxx - (ax + t * abx)
+        dy = pxy - (ay + t * aby)
+        hit = (dx * dx + dy * dy) <= tl_half * tl_half
+        return jnp.maximum(acc, jnp.where(hit, tlval_ref[0, 0, i], 0.0))
+
+    sig = jax.lax.fori_loop(
+        0, tl_ref.shape[1], tl_body, jnp.zeros((w, w), jnp.float32)
+    )
+
+    # --- boxes: OBBs carrying a channel selector (0=sig, 1=veh, 2=walker)
+    def box_body(i, accs):
+        sig, veh, wk = accs
+        bx = box_ref[0, i, 0]
+        by = box_ref[0, i, 1]
+        bc = box_ref[0, i, 2]
+        bs = box_ref[0, i, 3]
+        hl = box_ref[0, i, 4]
+        hw = box_ref[0, i, 5]
+        ch = box_ref[0, i, 6]
+        dx = pxx - bx
+        dy = pxy - by
+        lx = dx * bc + dy * bs
+        ly = -dx * bs + dy * bc
+        inside = (
+            (jnp.abs(lx) <= hl) & (jnp.abs(ly) <= hw)
+        ).astype(jnp.float32)
+        sig = jnp.maximum(sig, jnp.where(ch == 0.0, inside * 255.0, 0.0))
+        veh = jnp.maximum(veh, jnp.where(ch == 1.0, inside, 0.0))
+        wk = jnp.maximum(wk, jnp.where(ch == 2.0, inside, 0.0))
+        return sig, veh, wk
+
+    sig, veh, wk = jax.lax.fori_loop(
+        0, box_ref.shape[1], box_body,
+        (sig, jnp.zeros((w, w), jnp.float32),
+         jnp.zeros((w, w), jnp.float32)),
+    )
+
+    out_ref[0, 0] = (road_d2 <= half_lane * half_lane).astype(jnp.float32)
+    out_ref[0, 1] = (route_d2 <= route_half * route_half).astype(jnp.float32)
+    out_ref[0, 2] = lane_v / 255.0
+    out_ref[0, 3] = sig / 255.0
+    out_ref[0, 4] = veh
+    out_ref[0, 5] = wk
+
+
+def render_bev6_pallas_batch(
+    scene: StaticScene, cfg: EnvConfig, render_state,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    from gail_carla_tpu.ops.bev import _flatten_lead
+
+    lead = render_state.yaw.shape
+    flat = _flatten_lead(render_state, lead)
+    n = flat.yaw.shape[0]
+    w = cfg.bev_width
+
+    pose = jnp.stack(
+        [flat.xy[:, 0], flat.xy[:, 1], jnp.cos(flat.yaw),
+         jnp.sin(flat.yaw)], axis=1,
+    )[:, None, :]
+    road, _, lane, lane_val = jax.vmap(
+        lambda xy: bev_xla.fetch_cell(scene, xy)
+    )(flat.xy)
+    route = jax.vmap(
+        lambda r, h: bev_xla.route_window_segs(scene, r, h)
+    )(flat.route_id, flat.head)
+
+    # per-line signal values from the phase at each env's sim time
+    T = scene.tl_stop.shape[0]
+    sim_time = flat.step.astype(jnp.float32) * cfg.dt
+    states = jax.vmap(lambda t: signals.light_states(scene, t))(sim_time)
+    tl_val = jnp.where(
+        states == signals.GREEN, 80.0,
+        jnp.where(states == signals.YELLOW, 170.0, 255.0),
+    )
+    tl_val = jnp.where(
+        (jnp.arange(T) < scene.tl_n)[None, :], tl_val, 0.0
+    )
+    tl_segs = jnp.broadcast_to(
+        scene.tl_stop.reshape(1, T, 4), (n, T, 4)
+    )
+
+    # box table: active stop sign (channel 0) + vehicles (1) + walkers (2)
+    S = scene.ss_center.shape[0]
+    ss_half = jnp.maximum(scene.ss_extent[:, 0], scene.ss_extent[:, 1])
+
+    def stop_box(r):
+        active = jnp.arange(S) == r.stop_idx
+        half = jnp.max(jnp.where(active, ss_half, 0.0))
+        cx = jnp.sum(jnp.where(active, scene.ss_center[:, 0], 0.0))
+        cy = jnp.sum(jnp.where(active, scene.ss_center[:, 1], 0.0))
+        yaw = jnp.sum(jnp.where(active, scene.ss_yaw, 0.0))
+        return jnp.stack([
+            cx, cy, jnp.cos(yaw), jnp.sin(yaw),
+            jnp.where(half > 0, half, -1.0),
+            jnp.where(half > 0, half, -1.0),
+            0.0, 0.0,
+        ])
+
+    def actor_boxes(pose3, hl, hw, ch):
+        return jnp.concatenate(
+            [
+                pose3[:, :2],
+                jnp.cos(pose3[:, 2:3]), jnp.sin(pose3[:, 2:3]),
+                jnp.full((pose3.shape[0], 1), hl),
+                jnp.full((pose3.shape[0], 1), hw),
+                jnp.full((pose3.shape[0], 1), ch),
+                jnp.zeros((pose3.shape[0], 1)),
+            ],
+            axis=1,
+        )
+
+    K = flat.npc_pose.shape[1]
+    Wn = flat.walker_pose.shape[1]
+    boxes = jax.vmap(
+        lambda r: jnp.concatenate(
+            [
+                stop_box(r)[None],
+                actor_boxes(
+                    r.npc_pose, DEFAULT_VEHICLE.half_length,
+                    DEFAULT_VEHICLE.half_width, 1.0,
+                ),
+                actor_boxes(
+                    r.walker_pose, WALKER_HALF[0], WALKER_HALF[1], 2.0
+                ),
+            ],
+            axis=0,
+        )
+    )(flat)
+    nb = 1 + K + Wn
+
+    mr = road.shape[1]
+    ml = lane.shape[1]
+    k = route.shape[1]
+    kernel = functools.partial(
+        _kernel, w=w, ppm=cfg.pixels_per_meter,
+        ptb=cfg.pixels_ev_to_bottom, half_lane=scene.half_lane,
+        route_half=bev_xla.ROUTE_HALF_W, lane_half=bev_xla.LANE_HALF_W,
+        tl_half=TL_LINE_HALF_W,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mr, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ml, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ml), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nb, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 6, w, w), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, 6, w, w), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=n * w * w * (mr + ml + k + T + nb) * 12,
+            bytes_accessed=n * (6 * w * w * 4
+                                + (mr + ml + k + T + nb) * 32),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pose, road, lane, lane_val[:, None, :], route, tl_segs,
+      tl_val[:, None, :], boxes)
+    return out.reshape(lead + (6, w, w))

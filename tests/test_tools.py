@@ -172,3 +172,24 @@ def test_train_from_exported_files(scene, tmp_path):
     state, metrics = learner.update(state)
     assert np.isfinite(float(metrics["disc/dis_loss"]))
     assert float(metrics["gail_reward_mean"]) > 0.0
+
+
+def test_bev6_pallas_kernel_matches_xla_interpret(scene):
+    import jax
+    import jax.numpy as jnp
+    from gail_carla_tpu.ops.bev6 import render_bev6_batch
+    from gail_carla_tpu.ops.bev6_pallas import render_bev6_pallas_batch
+    from gail_carla_tpu.sim.env import reset_batch, step_batch
+
+    cfg = EnvConfig(train=False, obs_mode="bev6", n_npc_vehicles=3,
+                    n_npc_walkers=2)
+    states, _, render = reset_batch(scene, cfg, jax.random.PRNGKey(5),
+                                    jnp.arange(2, dtype=jnp.int32))
+    for _ in range(10):
+        states, out = step_batch(
+            scene, cfg, states, jnp.tile(jnp.array([0.0, 0.6]), (2, 1))
+        )
+    a = np.asarray(render_bev6_batch(scene, cfg, out.render))
+    b = np.asarray(render_bev6_pallas_batch(scene, cfg, out.render,
+                                            interpret=True))
+    np.testing.assert_allclose(a, b, atol=1e-5)
