@@ -1,7 +1,7 @@
 """Deterministic policy evaluation (the reference's eval pass,
 ``tools/learn.py:225-258``, and ``tools/evaluation.py``): run the policy with
-deterministic actions on the held-out route and report episode reward /
-length / completion."""
+deterministic actions and report episode reward / length / completion plus
+the leaderboard scoring fields (``ego_vehicle_handler.py:208-248``)."""
 from __future__ import annotations
 
 import jax
@@ -13,6 +13,19 @@ from gail_carla_tpu.models import policy as policy_mod
 from gail_carla_tpu.scene.scene import StaticScene
 from gail_carla_tpu.sim.env import reset_batch, step_batch
 
+_LATCH_KEYS = (
+    ("reward", "episode_reward", jnp.float32),
+    ("length", "episode_length", jnp.int32),
+    ("completed", "route_completed", bool),
+    ("score_route", "score_route", jnp.float32),
+    ("score_penalty", "score_penalty", jnp.float32),
+    ("score_composed", "score_composed", jnp.float32),
+    ("n_red_light", "n_red_light", jnp.int32),
+    ("n_stop_sign", "n_stop_sign", jnp.int32),
+    ("red_light_per_km", "red_light_per_km", jnp.float32),
+    ("collision", "collision", bool),
+)
+
 
 def evaluate_policy(
     scene: StaticScene,
@@ -20,16 +33,25 @@ def evaluate_policy(
     net,
     params,
     rng,
-    route_id: int,
+    route_id=None,
     n_envs: int = 1,
     max_steps: int = 2400,
+    route_ids=None,
 ):
     """Returns dict of (n_envs,) arrays for the FIRST episode finished in
-    each env (episodes auto-reset; we latch the first done)."""
+    each env (episodes auto-reset; we latch the first done).
+
+    Pass either a scalar ``route_id`` (all envs on that route — the
+    reference's held-out-route eval) or a ``route_ids`` array (one env per
+    route — the leaderboard-table eval)."""
     eval_cfg = env_cfg.__class__(
         **{**env_cfg.__dict__, "train": False}
     )
-    route_ids = jnp.full((n_envs,), route_id, jnp.int32)
+    if route_ids is None:
+        route_ids = jnp.full((n_envs,), route_id, jnp.int32)
+    else:
+        route_ids = jnp.asarray(route_ids, jnp.int32)
+        n_envs = route_ids.shape[0]
     states, metrics, render = reset_batch(scene, eval_cfg, rng, route_ids)
 
     def body(carry, _):
@@ -41,26 +63,16 @@ def evaluate_policy(
         )
         st2, out = step_batch(scene, eval_cfg, st, action)
         first_done = out.done & (~latched["done"])
-        latched = {
-            "done": latched["done"] | out.done,
-            "reward": jnp.where(
-                first_done, out.info["episode_reward"], latched["reward"]
-            ),
-            "length": jnp.where(
-                first_done, out.info["episode_length"], latched["length"]
-            ),
-            "completed": jnp.where(
-                first_done, out.info["route_completed"], latched["completed"]
-            ),
-        }
-        return (st2, out.metrics, out.render, latched), None
+        new = {"done": latched["done"] | out.done}
+        for name, info_key, _ in _LATCH_KEYS:
+            new[name] = jnp.where(
+                first_done, out.info[info_key], latched[name]
+            )
+        return (st2, out.metrics, out.render, new), None
 
-    latched0 = {
-        "done": jnp.zeros((n_envs,), bool),
-        "reward": jnp.zeros((n_envs,)),
-        "length": jnp.zeros((n_envs,), jnp.int32),
-        "completed": jnp.zeros((n_envs,), bool),
-    }
+    latched0 = {"done": jnp.zeros((n_envs,), bool)}
+    for name, _, dt in _LATCH_KEYS:
+        latched0[name] = jnp.zeros((n_envs,), dt)
     (_, _, _, latched), _ = jax.lax.scan(
         body, (states, metrics, render, latched0), None, length=max_steps
     )

@@ -60,7 +60,8 @@ def make_presets():
 
 def run(env_cfg, model_cfg, tcfg, scene_kwargs, demo_steps,
         max_updates=None, log_dir="runs/wdgail", ckpt_dir=None,
-        use_sharding=None, profile=False, demo_obey_signals=False):
+        use_sharding=None, profile=False, demo_obey_signals=False,
+        eval_all_routes=False, ckpt_keep=2):
     scene = make_benchmark_scene(**scene_kwargs)
     writer = MetricsWriter(log_dir)
 
@@ -111,6 +112,7 @@ def run(env_cfg, model_cfg, tcfg, scene_kwargs, demo_steps,
     n_updates = tcfg.n_updates if max_updates is None else max_updates
     t0 = time.time() - elapsed0
     eval_metrics = {}
+    best_score = -1.0
     while int(state.update_i) < n_updates:
         if profile and int(state.update_i) == 1:
             # SURVEY §5: the reference has no tracing at all; we capture a
@@ -132,7 +134,45 @@ def run(env_cfg, model_cfg, tcfg, scene_kwargs, demo_steps,
                 "eval/reward": float(ev["reward"][0]),
                 "eval/length": float(ev["length"][0]),
                 "eval/completed": float(ev["completed"][0]),
+                "eval/score": float(ev["score_composed"][0]),
             }
+            if eval_all_routes:
+                # leaderboard-table eval: one env per route, deterministic;
+                # the mean score_composed is the headline driving score
+                evr = evaluate_policy(
+                    scene, env_cfg, learner.policy_net,
+                    state.policy_params, jax.random.PRNGKey(i),
+                    route_ids=np.arange(scene.n_routes),
+                    max_steps=env_cfg.max_steps,
+                )
+                eval_metrics.update({
+                    "eval/mean_driving_score": float(
+                        np.mean(evr["score_composed"])
+                    ),
+                    "eval/routes_completed": float(
+                        np.sum(evr["completed"])
+                    ),
+                    "eval/red_light_per_km": float(
+                        np.mean(evr["red_light_per_km"])
+                    ),
+                })
+                if ckpt_dir and eval_metrics[
+                    "eval/mean_driving_score"
+                ] > best_score:
+                    best_score = eval_metrics["eval/mean_driving_score"]
+                    ckpt_mod.save_checkpoint(
+                        f"{ckpt_dir}/best", state, time.time() - t0
+                    )
+                    # params-only copy in the shape benchmark_policy
+                    # restores ({"params": ...})
+                    ckpt_mod.save_checkpoint(
+                        f"{ckpt_dir}/best_params",
+                        {"params": state.policy_params},
+                    )
+                    print(
+                        f"new best mean driving score {best_score:.1f} "
+                        f"at update {i}", file=sys.stderr,
+                    )
         metrics = {**metrics, **eval_metrics}
         writer.write(i, metrics)
 
@@ -145,10 +185,11 @@ def run(env_cfg, model_cfg, tcfg, scene_kwargs, demo_steps,
             f"wd {float(metrics['disc/post_val_wd']):.4f}",
             file=sys.stderr,
         )
-        if ckpt_dir:
+        if ckpt_dir and (i % tcfg.eval_interval == 0 or i == n_updates):
             ckpt_mod.save_checkpoint(
                 f"{ckpt_dir}/update_{i}", state, time.time() - t0
             )
+            ckpt_mod.prune_checkpoints(ckpt_dir, keep=ckpt_keep)
     writer.close()
     return state, metrics
 
@@ -166,17 +207,27 @@ def main(argv=None):
                    help="capture a jax.profiler trace of update 2")
     p.add_argument("--compliant-demos", action="store_true",
                    help="expert demos obey signals (obey_signals=True)")
+    p.add_argument("--obs-mode", default=None,
+                   choices=["bev", "bev6", "state"],
+                   help="override the preset's observation mode")
+    p.add_argument("--eval-all-routes", action="store_true",
+                   help="run a leaderboard-table eval over every route "
+                        "each eval_interval and keep the best checkpoint")
     args = p.parse_args(argv)
 
     preset = make_presets()[args.preset]
     tcfg = preset["train"]
     if args.params:
         tcfg = TrainConfig.from_json(args.params)
+    env_cfg = preset["env"]
+    if args.obs_mode:
+        env_cfg = dataclasses.replace(env_cfg, obs_mode=args.obs_mode)
     run(
-        preset["env"], preset["model"], tcfg, preset["scene"],
+        env_cfg, preset["model"], tcfg, preset["scene"],
         preset["demo_steps"], max_updates=args.max_updates,
         log_dir=args.log_dir, ckpt_dir=args.ckpt_dir,
         profile=args.profile, demo_obey_signals=args.compliant_demos,
+        eval_all_routes=args.eval_all_routes,
     )
 
 

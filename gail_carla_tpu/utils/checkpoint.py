@@ -53,6 +53,26 @@ def restore_checkpoint(path: str, template_state: Any):
     ]
 
 
+def prune_checkpoints(directory: str, keep: int = 2) -> None:
+    """Delete all but the newest ``keep`` ``update_*`` checkpoints (the
+    reference overwrites one ``gail_model.pt``; we keep a short history plus
+    any non-``update_*`` dirs like ``best``)."""
+    import shutil
+
+    if not os.path.isdir(directory):
+        return
+    steps = sorted(
+        (
+            d for d in os.listdir(directory)
+            if d.startswith("update_")
+            and os.path.isdir(os.path.join(directory, d))
+        ),
+        key=lambda d: int(d.split("_")[1]),
+    )
+    for d in steps[:-keep] if keep > 0 else steps:
+        shutil.rmtree(os.path.join(directory, d), ignore_errors=True)
+
+
 def latest_checkpoint(directory: str) -> Optional[str]:
     if not os.path.isdir(directory):
         return None
