@@ -1,0 +1,521 @@
+"""Reference-town reconstruction: Town01-06 lane graphs from route XMLs.
+
+The reference runs on CARLA's Town01-06 OpenDRIVE maps plus pre-rendered
+``maps/TownXX.h5`` mask packs (``chauffeurnet.py:72-85``, checker
+``config_utils.py:11-48``). Neither the OpenDRIVE files nor the H5 packs are
+shipped in the repo — the only town geometry that IS shipped is the route
+waypoint data: ``data/routes_{training,testing,devtest}.xml`` and the
+scenario-description packs (``carla_gym/envs/scenario_descriptions/**``),
+whose waypoints are lane-centerline poses (x, y, yaw) in real town
+coordinates (``config_utils.py:73-100`` parses them).
+
+This module reconstructs a navigable town from that data: every
+consecutive-waypoint leg of every known route is densified into straight
+runs + junction arcs (CARLA routes place waypoints at decision points, so a
+leg is straight-road / single-turn / gentle-curve); collinear runs from
+different routes are merged; junctions are detected where turn corners
+cluster; traffic lights are synthesized at signalized-junction entries
+(real positions are not in the data — phases/stop-lines follow
+``sim/signals.py`` semantics). The output is the same ``LaneGraph`` the
+procedural grid town produces, so the whole sim/obs/criteria stack works on
+real-town coordinates unchanged, and the benchmark routes (training routes
+0-9 = the Town01 pack, ``params_variable.json:13``) run verbatim.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from gail_carla_tpu.scene.road_option import RoadOption
+from gail_carla_tpu.scene.routes import RouteDef, parse_routes_xml
+from gail_carla_tpu.scene.town import (
+    LANE_WIDTH,
+    LaneEdge,
+    LaneGraph,
+    TrafficLightFixture,
+    _sample_arc,
+    _sample_line,
+    _turn_option,
+)
+from gail_carla_tpu.scene.trace import DenseRoute, _downsample
+
+REFERENCE_DATA = "/root/reference"
+
+TOWNS = ("Town01", "Town02", "Town03", "Town04", "Town05", "Town06")
+
+
+def _wrap(a: float) -> float:
+    return (a + math.pi) % (2 * math.pi) - math.pi
+
+
+# ---------------------------------------------------------------------------
+# Leg densification: one consecutive-waypoint pair -> geometry pieces
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _Piece:
+    pts: np.ndarray          # (M, 2)
+    option: RoadOption
+    is_junction: bool
+    corner: Optional[np.ndarray] = None   # junction corner (turn pieces)
+    yaw_in: float = 0.0
+    yaw_out: float = 0.0
+
+
+def densify_leg(
+    p0: np.ndarray, yaw0: float, p1: np.ndarray, yaw1: float,
+    step: float = 1.0,
+) -> List[_Piece]:
+    """Geometry between two consecutive route waypoints.
+
+    CARLA route files put waypoints at decision points, so a leg is one of:
+    straight road (equal yaws), a gentle road curve (small yaw delta), or a
+    junction turn (straight approach + corner arc + straight exit). The
+    reference recovers the true geometry from the OpenDRIVE map via
+    ``GlobalRoutePlanner.trace_route``; without the map we reconstruct it
+    from the endpoint poses."""
+    p0 = np.asarray(p0, np.float64)
+    p1 = np.asarray(p1, np.float64)
+    d = p1 - p0
+    dist = float(np.linalg.norm(d))
+    if dist < 0.5:
+        return []
+    f0 = np.array([math.cos(yaw0), math.sin(yaw0)])
+    f1 = np.array([math.cos(yaw1), math.sin(yaw1)])
+    dyaw = _wrap(yaw1 - yaw0)
+    chord_yaw = math.atan2(d[1], d[0])
+
+    if abs(dyaw) < 0.06 and abs(_wrap(chord_yaw - yaw0)) < 0.06:
+        # straight road
+        return [_Piece(_sample_line(p0, p1, step), RoadOption.LANEFOLLOW,
+                       False, yaw_in=yaw0, yaw_out=yaw1)]
+    if abs(dyaw) < 0.35:
+        # gentle curve within one road — smooth blend, still lane-follow
+        return [_Piece(_sample_arc(p0, yaw0, p1, yaw1, step),
+                       RoadOption.LANEFOLLOW, False,
+                       yaw_in=yaw0, yaw_out=yaw1)]
+
+    # A turn. Find the corner C where the entry and exit headings cross:
+    # p0 + t*f0 == p1 - u*f1.
+    det = f0[0] * f1[1] - f0[1] * f1[0]
+    if abs(det) < 1e-6:
+        # U-turn / parallel headings: no unique corner
+        return [_Piece(_sample_arc(p0, yaw0, p1, yaw1, step),
+                       _turn_option(yaw0, yaw1), True,
+                       corner=0.5 * (p0 + p1), yaw_in=yaw0, yaw_out=yaw1)]
+    t = (d[0] * f1[1] - d[1] * f1[0]) / det
+    u = (f0[0] * d[1] - f0[1] * d[0]) / det
+    if t > 2.0 * dist or u > 2.0 * dist or min(t, u) > 60.0:
+        # no credible corner inside the leg (shallow crossing of nearly
+        # parallel headings puts the intersection far away — Town03+ has
+        # winding roads): treat as a road bend, not a junction turn
+        return [_Piece(_sample_arc(p0, yaw0, p1, yaw1, step),
+                       RoadOption.LANEFOLLOW, False,
+                       yaw_in=yaw0, yaw_out=yaw1)]
+    if t < 1.0 or u < 1.0:
+        # corner at/behind an endpoint — the whole leg is the connector
+        return [_Piece(_sample_arc(p0, yaw0, p1, yaw1, step),
+                       _turn_option(yaw0, yaw1), True,
+                       corner=0.5 * (p0 + p1), yaw_in=yaw0, yaw_out=yaw1)]
+    C = p0 + t * f0
+    r = float(np.clip(min(t, u) * 0.67, 2.0, 10.0))
+    E = C - f0 * r
+    X = C + f1 * r
+    pieces: List[_Piece] = []
+    if t - r > 1.0:
+        pieces.append(_Piece(_sample_line(p0, E, step),
+                             RoadOption.LANEFOLLOW, False,
+                             yaw_in=yaw0, yaw_out=yaw0))
+    pieces.append(_Piece(_sample_arc(E, yaw0, X, yaw1, step),
+                         _turn_option(yaw0, yaw1), True, corner=C,
+                         yaw_in=yaw0, yaw_out=yaw1))
+    if u - r > 1.0:
+        pieces.append(_Piece(_sample_line(X, p1, step),
+                             RoadOption.LANEFOLLOW, False,
+                             yaw_in=yaw1, yaw_out=yaw1))
+    return pieces
+
+
+def densify_route(waypoints: np.ndarray, step: float = 1.0) -> DenseRoute:
+    """Sparse (K, 3) route keypoints -> DenseRoute, bypassing graph A*
+    (the route's own geometry IS the reconstruction source of truth)."""
+    pts: List[np.ndarray] = []
+    cmds: List[np.ndarray] = []
+    for i in range(len(waypoints) - 1):
+        for piece in densify_leg(
+            waypoints[i, :2], waypoints[i, 2],
+            waypoints[i + 1, :2], waypoints[i + 1, 2], step,
+        ):
+            p = piece.pts
+            if pts and len(p) > 1:
+                p = p[1:]   # drop duplicated seam point
+            pts.append(p)
+            cmds.append(np.full(len(p), int(piece.option), np.int32))
+    xy = np.concatenate(pts, axis=0)
+    cmd = np.concatenate(cmds, axis=0)
+    keep = np.ones(len(xy), dtype=bool)
+    keep[1:] = np.linalg.norm(np.diff(xy, axis=0), axis=1) > 1e-6
+    xy, cmd = xy[keep], cmd[keep]
+    d = np.diff(xy, axis=0)
+    yaw_seg = np.arctan2(d[:, 1], d[:, 0])
+    yaw = np.concatenate([yaw_seg, yaw_seg[-1:]])
+    s = np.concatenate([[0.0], np.cumsum(np.linalg.norm(d, axis=1))])
+    plan_idx = _downsample(xy, cmd, sample_factor=50.0)
+    return DenseRoute(
+        xy=xy, yaw=yaw, cmd=cmd, s=s,
+        plan_xy=xy[plan_idx], plan_cmd=cmd[plan_idx],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Route collection
+# ---------------------------------------------------------------------------
+
+def _route_files(root: str) -> List[str]:
+    out = []
+    for name in ("routes_training.xml", "routes_testing.xml",
+                 "routes_devtest.xml", "route_00.xml", "route_01.xml"):
+        p = os.path.join(root, "data", name)
+        if os.path.exists(p):
+            out.append(p)
+    return out
+
+
+def collect_town_routes(
+    town: str, root: str = REFERENCE_DATA, min_waypoints: int = 4,
+) -> List[RouteDef]:
+    """All multi-waypoint routes of ``town`` across the shipped data files
+    (used as geometry evidence for the reconstruction)."""
+    routes: List[RouteDef] = []
+    for path in _route_files(root):
+        for r in parse_routes_xml(path):
+            if r.town == town and len(r.waypoints) >= min_waypoints:
+                routes.append(r)
+    # LeaderBoard scenario-description packs (same towns; Town04 also has
+    # _train/_test splits whose dir name starts with the town name)
+    sd = os.path.join(root, "carla_gym", "envs", "scenario_descriptions",
+                      "LeaderBoard")
+    if os.path.isdir(sd):
+        for d in sorted(os.listdir(sd)):
+            if not d.startswith(town):
+                continue
+            p = os.path.join(sd, d, "routes.xml")
+            if os.path.exists(p):
+                for r in parse_routes_xml(p):
+                    if len(r.waypoints) >= min_waypoints:
+                        routes.append(dataclasses.replace(r, town=town))
+    return routes
+
+
+def benchmark_routes(
+    town: str = "Town01", route_file: str = "routes_training.xml",
+    root: str = REFERENCE_DATA,
+) -> List[RouteDef]:
+    """The benchmark task pack: routes of ``town`` from one file, in file
+    order with re-numbered ids (training routes 0-9 are exactly the Town01
+    block of routes_training.xml, ``params_variable.json:13``)."""
+    path = os.path.join(root, "data", route_file)
+    picked = [r for r in parse_routes_xml(path) if r.town == town]
+    return [
+        dataclasses.replace(r, route_id=i) for i, r in enumerate(picked)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Graph reconstruction
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _Run:
+    """A maximal straight lane line: anchor o, unit direction d, plus
+    coverage intervals along it (merged with bounded gaps)."""
+
+    o: np.ndarray
+    d: np.ndarray
+    intervals: List[List[float]]
+    cuts: List[float] = dataclasses.field(default_factory=list)
+    junction_spans: List[Tuple[float, float]] = dataclasses.field(
+        default_factory=list
+    )
+
+    def proj(self, p: np.ndarray) -> float:
+        return float((p - self.o) @ self.d)
+
+    def lateral(self, p: np.ndarray) -> float:
+        v = p - self.o
+        return float(abs(v[0] * self.d[1] - v[1] * self.d[0]))
+
+    def point(self, s: float) -> np.ndarray:
+        return self.o + s * self.d
+
+    def add_interval(self, lo: float, hi: float, max_gap: float = 30.0):
+        self.intervals.append([lo, hi])
+        self.intervals.sort()
+        merged = [self.intervals[0]]
+        for a, b in self.intervals[1:]:
+            if a <= merged[-1][1] + max_gap:
+                merged[-1][1] = max(merged[-1][1], b)
+            else:
+                merged.append([a, b])
+        self.intervals = merged
+
+
+class _NodeSnap:
+    """Node registry with distance snapping (two poses within ``tol`` m are
+    the same graph node)."""
+
+    def __init__(self, tol: float = 0.9):
+        self.tol = tol
+        self.nodes: List[np.ndarray] = []
+        self._grid: Dict[Tuple[int, int], List[int]] = {}
+
+    def get(self, p: np.ndarray) -> int:
+        cx, cy = int(p[0] // self.tol), int(p[1] // self.tol)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for idx in self._grid.get((cx + dx, cy + dy), ()):
+                    if np.linalg.norm(self.nodes[idx] - p) <= self.tol:
+                        return idx
+        self.nodes.append(np.asarray(p, np.float64))
+        idx = len(self.nodes) - 1
+        self._grid.setdefault((cx, cy), []).append(idx)
+        return idx
+
+
+def build_town_graph(
+    route_defs: Sequence[RouteDef],
+    lane_width: float = LANE_WIDTH,
+    dir_tol: float = 0.07,
+    lat_tol: float = 1.2,
+) -> LaneGraph:
+    """Union of all route legs -> merged directed lane graph + synthesized
+    signals. See module docstring for the method."""
+    runs: List[_Run] = []
+    curves: Dict[Tuple, _Piece] = {}
+    arcs: Dict[Tuple, _Piece] = {}
+
+    def endpoint_key(a, b):
+        return (round(a[0] / 2.0), round(a[1] / 2.0),
+                round(b[0] / 2.0), round(b[1] / 2.0))
+
+    def match_run(p: np.ndarray, yaw: float) -> Optional[_Run]:
+        f = np.array([math.cos(yaw), math.sin(yaw)])
+        best, best_lat = None, lat_tol
+        for run in runs:
+            if float(run.d @ f) < math.cos(dir_tol):
+                continue
+            lat = run.lateral(p)
+            if lat < best_lat:
+                best, best_lat = run, lat
+        return best
+
+    # 1. densify every leg of every route; bucket pieces
+    for r in route_defs:
+        w = r.waypoints
+        for i in range(len(w) - 1):
+            for piece in densify_leg(w[i, :2], w[i, 2],
+                                     w[i + 1, :2], w[i + 1, 2]):
+                a, b = piece.pts[0], piece.pts[-1]
+                if piece.is_junction:
+                    arcs.setdefault(endpoint_key(a, b), piece)
+                elif abs(_wrap(piece.yaw_out - piece.yaw_in)) < 0.06:
+                    yaw = math.atan2(b[1] - a[1], b[0] - a[0])
+                    run = match_run(a, yaw)
+                    if run is None or run.lateral(b) > lat_tol:
+                        run = _Run(
+                            o=a.copy(),
+                            d=np.array([math.cos(yaw), math.sin(yaw)]),
+                            intervals=[],
+                        )
+                        runs.append(run)
+                    lo, hi = run.proj(a), run.proj(b)
+                    run.add_interval(min(lo, hi), max(lo, hi))
+                else:
+                    curves.setdefault(endpoint_key(a, b), piece)
+
+    # 2. junction clusters from arc corners
+    corners = [p.corner for p in arcs.values() if p.corner is not None]
+    clusters: List[dict] = []   # {center, members(list of _Piece)}
+    for c, piece in zip(corners,
+                        [p for p in arcs.values() if p.corner is not None]):
+        hit = None
+        for cl in clusters:
+            if np.linalg.norm(cl["center"] - c) < 15.0:
+                hit = cl
+                break
+        if hit is None:
+            clusters.append({"center": c.copy(), "members": [piece],
+                             "n": 1})
+        else:
+            hit["members"].append(piece)
+            hit["n"] += 1
+            hit["center"] = (
+                hit["center"] * (hit["n"] - 1) + c
+            ) / hit["n"]
+
+    for cl in clusters:
+        headings = set()
+        radius = 8.0
+        for p in cl["members"]:
+            headings.add(round(p.yaw_in / (math.pi / 4)) % 8)
+            for q in (p.pts[0], p.pts[-1]):
+                radius = max(radius, float(
+                    np.linalg.norm(q - cl["center"])
+                ) + 1.0)
+        cl["radius"] = min(radius, 20.0)
+        cl["signalized"] = len(headings) >= 2
+
+    # 3. snap arc endpoints onto runs, record cut points
+    def snap_to_run(p: np.ndarray, yaw: float) -> np.ndarray:
+        for flip in (1.0,):
+            del flip
+            run = match_run(p, yaw)
+            if run is not None:
+                s = run.proj(p)
+                for lo, hi in run.intervals:
+                    if lo - 3.0 <= s <= hi + 3.0:
+                        run.cuts.append(float(np.clip(s, lo, hi)))
+                        return run.point(run.cuts[-1])
+        return p
+
+    snapped_arcs: List[_Piece] = []
+    for piece in arcs.values():
+        e = snap_to_run(piece.pts[0], piece.yaw_in)
+        x = snap_to_run(piece.pts[-1], piece.yaw_out)
+        pts = _sample_arc(e, piece.yaw_in, x, piece.yaw_out)
+        snapped_arcs.append(dataclasses.replace(piece, pts=pts))
+
+    # 4. signalized-junction crossings on runs + light synthesis
+    lights: List[TrafficLightFixture] = []
+    half = lane_width / 2.0
+
+    def add_light(p: np.ndarray, yaw: float, junction_id: int,
+                  principal: float):
+        rgt = np.array([-math.sin(yaw), math.cos(yaw)])
+        rel = abs(math.cos(yaw - principal))
+        group = 0 if rel > math.cos(math.pi / 4) else 1
+        for t in lights:
+            if t.junction == junction_id and np.linalg.norm(
+                0.5 * (t.stop_a + t.stop_b) - p
+            ) < 4.0 and abs(_wrap(t.yaw - yaw)) < 0.6:
+                return
+        lights.append(TrafficLightFixture(
+            stop_a=p - rgt * half * 1.2, stop_b=p + rgt * half * 1.2,
+            yaw=yaw, junction=junction_id, group=group,
+        ))
+
+    for jid, cl in enumerate(clusters):
+        if not cl["signalized"]:
+            continue
+        principal = cl["members"][0].yaw_in
+        # lights at every turning-arc entry
+        for p in cl["members"]:
+            pass  # entries handled from the snapped arcs below
+        for piece in snapped_arcs:
+            if piece.corner is None:
+                continue
+            if np.linalg.norm(piece.corner - cl["center"]) < cl["radius"]:
+                add_light(piece.pts[0], piece.yaw_in, jid, principal)
+        # straight-through crossings
+        for run in runs:
+            lat = run.lateral(cl["center"])
+            if lat >= cl["radius"]:
+                continue
+            s_c = run.proj(cl["center"])
+            halfspan = math.sqrt(cl["radius"] ** 2 - lat ** 2)
+            s_in, s_out = s_c - halfspan, s_c + halfspan
+            for lo, hi in run.intervals:
+                if s_in > lo + 2.0 and s_out < hi - 2.0:
+                    run.cuts.extend([s_in, s_out])
+                    run.junction_spans.append((s_in, s_out))
+                    yaw = math.atan2(run.d[1], run.d[0])
+                    add_light(run.point(s_in), yaw, jid, principal)
+
+    # 5. assemble edges
+    snap = _NodeSnap()
+    edges: List[LaneEdge] = []
+
+    def add_edge(pts: np.ndarray, option: RoadOption, is_junction: bool):
+        if len(pts) < 2 or np.linalg.norm(pts[-1] - pts[0]) < 0.5:
+            return
+        src = snap.get(pts[0])
+        dst = snap.get(pts[-1])
+        if src == dst:
+            return
+        edges.append(LaneEdge(src, dst, pts, option, is_junction))
+
+    for run in runs:
+        for lo, hi in run.intervals:
+            cuts = sorted(
+                {lo, hi, *(c for c in run.cuts if lo < c < hi)}
+            )
+            for a, b in zip(cuts[:-1], cuts[1:]):
+                if b - a < 0.5:
+                    continue
+                mid = 0.5 * (a + b)
+                in_junction = any(
+                    s - 0.5 <= mid <= e + 0.5
+                    for s, e in run.junction_spans
+                )
+                add_edge(
+                    _sample_line(run.point(a), run.point(b)),
+                    RoadOption.LANEFOLLOW, in_junction,
+                )
+    for piece in curves.values():
+        add_edge(piece.pts, RoadOption.LANEFOLLOW, False)
+    for piece in snapped_arcs:
+        add_edge(piece.pts, piece.option, True)
+
+    adjacency: Dict[int, List[int]] = {}
+    for k, e in enumerate(edges):
+        adjacency.setdefault(e.src, []).append(k)
+
+    return LaneGraph(
+        nodes=np.array(snap.nodes).reshape(-1, 2),
+        edges=edges,
+        adjacency=adjacency,
+        traffic_lights=lights,
+        stop_signs=[],
+        lane_width=lane_width,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scene assembly
+# ---------------------------------------------------------------------------
+
+_TOWN_SCENE_CACHE: Dict[Tuple, object] = {}
+
+
+def make_town_scene(
+    town: str = "Town01",
+    route_file: str = "routes_training.xml",
+    root: str = REFERENCE_DATA,
+    route_pts_pad: int = 256,
+    n_patrols: int = 32,
+):
+    """StaticScene for a reconstructed reference town whose task routes are
+    the ``town`` block of ``route_file`` (training: Town01 routes 0-9 — the
+    reference's actual benchmark, ``leaderboard_env.py:7-97``). Dense route
+    polylines come straight from the route's own densified legs (no A*
+    needed); the merged graph supplies road surface, signals, spawn points
+    and NPC patrols. Cached per argument tuple."""
+    from gail_carla_tpu.scene.scene import build_scene
+
+    key = (town, route_file, root, route_pts_pad, n_patrols)
+    if key not in _TOWN_SCENE_CACHE:
+        bench = benchmark_routes(town, route_file, root)
+        if not bench:
+            raise ValueError(f"no {town} routes in {route_file}")
+        evidence = collect_town_routes(town, root)
+        graph = build_town_graph(evidence)
+        dense = [densify_route(r.waypoints) for r in bench]
+        _TOWN_SCENE_CACHE[key] = build_scene(
+            graph, bench, dense=dense, route_pts_pad=route_pts_pad,
+            n_patrols=n_patrols,
+        )
+    return _TOWN_SCENE_CACHE[key]

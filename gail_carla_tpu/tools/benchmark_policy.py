@@ -23,10 +23,10 @@ def benchmark(ckpt_dir=None, episodes_per_route: int = 1,
     from gail_carla_tpu.config import EnvConfig, ModelConfig
     from gail_carla_tpu.models import policy as policy_mod
     from gail_carla_tpu.models.policy import init_policy
-    from gail_carla_tpu.scene.scene import make_benchmark_scene
     from gail_carla_tpu.sim.env import reset_batch, step_batch
+    from gail_carla_tpu.train import make_scene
 
-    scene = make_benchmark_scene(**(scene_kwargs or {}))
+    scene = make_scene(scene_kwargs or {})
     cfg = EnvConfig(train=False, obs_mode=obs_mode)
     c = 6 if obs_mode == "bev6" else 3
     net, params = init_policy(
@@ -113,8 +113,14 @@ def benchmark(ckpt_dir=None, episodes_per_route: int = 1,
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", default=None)
+    p.add_argument("--town", default=None,
+                   help="benchmark on a reconstructed reference town "
+                        "(e.g. Town01) instead of the procedural grid")
+    p.add_argument("--obs-mode", default="bev",
+                   choices=["bev", "bev6", "state"])
     args = p.parse_args(argv)
-    benchmark(args.ckpt)
+    scene_kwargs = {"town": args.town} if args.town else None
+    benchmark(args.ckpt, scene_kwargs=scene_kwargs, obs_mode=args.obs_mode)
 
 
 if __name__ == "__main__":
