@@ -150,8 +150,17 @@ def autopilot_act(
         d_stop = jnp.linalg.norm(scene.ss_center[tgt] - ego.xy)
         spd_stop = jnp.where(ss_active, cap(d_stop, 2.0), tspeed)
 
-        veh_found, d_veh = hazard_vehicle(world.traffic, ego.xy, ego.yaw)
-        ped_found, d_ped = hazard_walker(world.traffic, ego.xy, ego.yaw)
+        # look as far ahead as the coast-only braking distance needs
+        # (v^2 / 2a + margin ≈ 48 m at 6 m/s): the reward-side detectors
+        # keep the reference's 9.5 m (hazard_actor.py:16-46); the sqrt cap
+        # below leaves cruise speed untouched until ~35 m
+        veh_found, d_veh = hazard_vehicle(
+            world.traffic, ego.xy, ego.yaw,
+            proximity_threshold=48.0, distance_threshold=48.0,
+        )
+        ped_found, d_ped = hazard_walker(
+            world.traffic, ego.xy, ego.yaw, proximity_threshold=30.0,
+        )
         spd_veh = jnp.where(veh_found, cap(d_veh, 8.0), tspeed)
         spd_ped = jnp.where(ped_found, cap(d_ped, 6.0), tspeed)
 

@@ -32,6 +32,9 @@ class EnvConfig:
     # --- route / task ---
     n_routes: int = 10
     random_restart_prob: float = 0.1   # ego_vehicle_handler.py:62
+    # endless mode: keep extending the route during the episode by chaining
+    # onto scene.endless_next rows (task_vehicle.py:67-82,143-145)
+    endless_extension: bool = False
     # --- reward / terminal handler selection (carla_env.py:63-72 picks
     #     valeo_action + leaderboard; training optimises delta-completion) ---
     reward_mode: str = "delta_completion"   # or "valeo"
@@ -54,6 +57,9 @@ class EnvConfig:
     # --- traffic ---
     n_npc_vehicles: int = 0
     n_npc_walkers: int = 0
+    # scripted per-route adversaries (ScenarioActorHandler slots); must be
+    # >= the scene's sa_max to activate every task actor
+    n_scenario_actors: int = 0
     # --- full-parity BEV (15-channel masks + rendered RGB + history ring;
     #     needed only for demo export / NoDetPx; policy uses mask 0) ---
     full_bev: bool = False

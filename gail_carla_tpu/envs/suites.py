@@ -54,14 +54,39 @@ def _tasks(weathers, route_ids, n_veh, n_wal) -> List[Dict]:
 def leaderboard_suite(
     n_routes: int = 10, weather_group: str = "train", seed: int = 2021,
     nx: int = 4, ny: int = 4, block: float = 100.0,
+    town: str = None, route_file: str = "routes_training.xml",
+    scenario_actors=None,
 ) -> Tuple[StaticScene, EnvConfig, List[Dict]]:
     """leaderboard_env.py: LeaderBoard routes, zombie counts zeroed
-    (leaderboard_env.py:34-49)."""
-    graph = make_grid_town(nx=nx, ny=ny, block=block, seed=seed)
-    routes = generate_routes(graph, n_routes=n_routes, min_length=400.0,
-                             seed=seed)
-    scene = build_scene(graph, routes)
-    cfg = EnvConfig(train=True, terminal_mode="leaderboard")
+    (leaderboard_env.py:34-49).
+
+    With ``town`` set (e.g. "Town01") the scene is the reconstructed
+    reference town with that town's block of ``route_file`` as the task
+    routes — the reference's actual benchmark (training routes 0-9 ==
+    LeaderBoard Town01 pack). Without it, the procedural grid town.
+
+    ``scenario_actors`` maps route_id -> [(polyline_xy, speed), ...] —
+    scripted per-route adversaries (the actors.json counterpart the
+    reference's ScenarioActorHandler would tick; the shipped actors.json
+    files define no scenario vehicles, so this field is how tasks add
+    them here). Grid-town scenes only."""
+    if town is not None:
+        from gail_carla_tpu.scene.town_import import make_town_scene
+
+        assert scenario_actors is None, (
+            "scenario_actors are a task field for generated scenes"
+        )
+        scene = make_town_scene(town, route_file)
+        n_routes = scene.n_routes
+    else:
+        graph = make_grid_town(nx=nx, ny=ny, block=block, seed=seed)
+        routes = generate_routes(graph, n_routes=n_routes,
+                                 min_length=400.0, seed=seed)
+        scene = build_scene(graph, routes, scenario_actors=scenario_actors)
+    cfg = EnvConfig(
+        train=True, terminal_mode="leaderboard",
+        n_scenario_actors=int(scene.sa_max),
+    )
     tasks = _tasks(
         WEATHER_GROUPS[weather_group], range(n_routes), 0, 0
     )
@@ -186,43 +211,60 @@ def corl2017_suite(
 
 def endless_suite(
     n_npc_vehicles: int = 16, n_npc_walkers: int = 16,
-    weather_group: str = "train", seed: int = 2021, n_routes: int = 8,
+    weather_group: str = "train", seed: int = 2021, n_rows: int = 8,
+    row_m: float = 1000.0, max_time: float = 1200.0,
 ) -> Tuple[StaticScene, EnvConfig, List[Dict]]:
-    """endless_env.py: no fixed route — random >=1000 m targets
-    (task_vehicle.py:67-82 keeps extending). Here: long random-walk routes
-    with the valeo terminal (timeout = success, valeo.py:92-96)."""
-    graph = make_grid_town(nx=4, ny=4, block=100.0, seed=seed)
-    rng = np.random.default_rng(seed)
-    routes = []
-    spawns = graph.spawn_points(spacing=40.0)
-    from gail_carla_tpu.scene.town import astar, nearest_edge_point
+    """endless_env.py: no fixed route — the reference keeps appending
+    random >= 1000 m targets DURING the episode (task_vehicle.py:67-82,
+    143-145). On device this is route-row chaining: one long random lane
+    walk is sliced into ~``row_m``-metre rows that share boundary poses,
+    ``scene.endless_next`` links them, and the env seamlessly continues
+    onto the next row when one is exhausted (EnvConfig.endless_extension).
+    Timeout is success (terminal/valeo.py:92-96)."""
+    import jax.numpy as jnp
 
-    while len(routes) < n_routes:
-        wps = [spawns[rng.integers(len(spawns))]]
-        total = 0.0
-        while total < 1000.0 and len(wps) < 12:
-            cand = spawns[rng.integers(len(spawns))]
-            if np.linalg.norm(cand[:2] - wps[-1][:2]) < 60.0:
-                continue
-            ek_a, _ = nearest_edge_point(graph, wps[-1][:2])
-            ek_b, _ = nearest_edge_point(graph, cand[:2])
-            path = astar(graph, graph.edges[ek_a].dst, graph.edges[ek_b].src)
-            if path is None:
-                break
-            total += sum(graph.edges[k].length for k in path)
-            wps.append(cand)
-        if total >= 1000.0:
-            routes.append(
-                RouteDef(route_id=len(routes), town="GridTown",
-                         waypoints=np.asarray(wps)),
-            )
-    scene = build_scene(graph, routes, route_pts_pad=512)
+    from gail_carla_tpu.scene.scene import _build_patrols
+    from gail_carla_tpu.scene.trace import DenseRoute, _downsample
+
+    graph = make_grid_town(nx=4, ny=4, block=100.0, seed=seed)
+    walk_xy, walk_yaw, walk_cmd = _build_patrols(
+        graph, 1, length_m=n_rows * row_m + 200.0, seed=seed
+    )[0]
+    d = np.linalg.norm(np.diff(walk_xy, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(d)])
+    # slice at arc-length multiples of row_m; rows share boundary points
+    bounds = [int(np.searchsorted(s, k * row_m)) for k in range(n_rows)]
+    bounds.append(len(walk_xy) - 1)
+    rows: List[DenseRoute] = []
+    defs: List[RouteDef] = []
+    for r in range(n_rows):
+        lo, hi = bounds[r], bounds[r + 1]
+        if hi - lo < 20:
+            break
+        xy = walk_xy[lo:hi + 1]
+        cmd = walk_cmd[lo:hi + 1]
+        yaw = walk_yaw[lo:hi + 1]
+        rs = s[lo:hi + 1] - s[lo]
+        plan_idx = _downsample(xy, cmd, sample_factor=50.0)
+        rows.append(DenseRoute(
+            xy=xy, yaw=yaw, cmd=cmd, s=rs,
+            plan_xy=xy[plan_idx], plan_cmd=cmd[plan_idx],
+        ))
+        defs.append(RouteDef(
+            route_id=r, town="GridTown",
+            waypoints=np.array([[*xy[0], yaw[0]], [*xy[-1], yaw[-1]]]),
+        ))
+    scene = build_scene(graph, defs, dense=rows, route_pts_pad=512)
+    nxt = np.arange(1, len(rows) + 1, dtype=np.int32)
+    nxt[-1] = len(rows) - 1   # last row has no continuation
+    scene = scene.replace(endless_next=jnp.asarray(nxt))
     n_veh, n_wal = min(n_npc_vehicles, 32), min(n_npc_walkers, 32)
     cfg = EnvConfig(
-        train=True, terminal_mode="valeo", max_time=1200.0,
+        train=True, terminal_mode="valeo", max_time=max_time,
+        endless_extension=True,
         n_npc_vehicles=n_veh, n_npc_walkers=n_wal,
     )
     tasks = _tasks(
-        WEATHER_GROUPS[weather_group], range(len(routes)), n_veh, n_wal
+        WEATHER_GROUPS[weather_group], range(len(rows)), n_veh, n_wal
     )
     return scene, cfg, tasks

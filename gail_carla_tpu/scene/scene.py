@@ -77,6 +77,28 @@ class StaticScene:
     patrol_cmd: jnp.ndarray = None  # (P, Lp) i32
     patrol_n: jnp.ndarray = None    # (P,) i32
 
+    # --- endless-route chaining: when EnvConfig.endless_extension is on
+    #     and the ego nears the end of its route row, it seamlessly
+    #     continues onto endless_next[route] (the on-device equivalent of
+    #     task_vehicle.py:67-82,143-145 appending random 1000 m targets
+    #     during the episode) ---
+    endless_next: jnp.ndarray = None   # (R,) i32
+
+    # --- static obstacles: building/pole OBBs the ego can hit (the
+    #     reference's collision sensor fires on any static actor,
+    #     criteria/collision.py:49-112; penalty 0.65) ---
+    ob_pose: jnp.ndarray = None     # (O, 3) x, y, yaw
+    ob_extent: jnp.ndarray = None   # (O, 2) half sizes
+    ob_n: int = struct.field(pytree_node=False, default=0)
+
+    # --- scenario actors: per-task scripted vehicles with their own routes
+    #     (ScenarioActorHandler, scenario_actor_handler.py:6-50; the
+    #     actors.json counterpart). Their polylines live in the patrol
+    #     arrays; these tables say which rows each ego route activates. ---
+    sa_patrol: jnp.ndarray = None   # (R, A) i32 patrol row, -1 = none
+    sa_speed: jnp.ndarray = None    # (R, A) f32 target speed
+    sa_max: int = struct.field(pytree_node=False, default=0)
+
     @property
     def n_routes(self) -> int:
         return self.route_xy.shape[0]
@@ -84,6 +106,34 @@ class StaticScene:
     @property
     def n_patrols(self) -> int:
         return self.patrol_xy.shape[0]
+
+
+def _pad_polyline_set(patrols, pad: int = 128):
+    """Pad a list of (xy, yaw, cmd) polylines into dense patrol arrays."""
+    L = _pad_to(max(len(p[0]) for p in patrols) + 32, pad)
+    P = len(patrols)
+    patrol_xy = np.zeros((P, L, 2), np.float32)
+    patrol_yaw = np.zeros((P, L), np.float32)
+    patrol_cmd = np.full((P, L), 4, np.int32)
+    patrol_n = np.zeros((P,), np.int32)
+    for i, (xy, yaw, cmd) in enumerate(patrols):
+        n = len(xy)
+        patrol_xy[i, :n] = xy
+        patrol_xy[i, n:] = xy[-1]
+        patrol_yaw[i, :n] = yaw
+        patrol_yaw[i, n:] = yaw[-1]
+        patrol_cmd[i, :n] = cmd
+        patrol_n[i] = n
+    return patrol_xy, patrol_yaw, patrol_cmd, patrol_n
+
+
+def _polyline_with_yaw(xy: np.ndarray):
+    xy = np.asarray(xy, np.float64).reshape(-1, 2)
+    d = np.diff(xy, axis=0)
+    yaw = np.arctan2(d[:, 1], d[:, 0])
+    yaw = np.concatenate([yaw, yaw[-1:]]) if len(yaw) else np.zeros(1)
+    cmd = np.full(len(xy), 4, np.int32)
+    return xy, yaw, cmd
 
 
 def _build_patrols(
@@ -124,22 +174,7 @@ def _build_patrols(
         yaw = np.arctan2(d[:, 1], d[:, 0])
         yaw = np.concatenate([yaw, yaw[-1:]])
         patrols.append((xy, yaw, cmd))
-
-    L = _pad_to(max(len(p[0]) for p in patrols) + 32, pad)
-    P = len(patrols)
-    patrol_xy = np.zeros((P, L, 2), np.float32)
-    patrol_yaw = np.zeros((P, L), np.float32)
-    patrol_cmd = np.full((P, L), 4, np.int32)
-    patrol_n = np.zeros((P,), np.int32)
-    for i, (xy, yaw, cmd) in enumerate(patrols):
-        n = len(xy)
-        patrol_xy[i, :n] = xy
-        patrol_xy[i, n:] = xy[-1]
-        patrol_yaw[i, :n] = yaw
-        patrol_yaw[i, n:] = yaw[-1]
-        patrol_cmd[i, :n] = cmd
-        patrol_n[i] = n
-    return patrol_xy, patrol_yaw, patrol_cmd, patrol_n
+    return patrols
 
 
 def build_scene(
@@ -149,8 +184,25 @@ def build_scene(
     plan_pts_pad: int = 32,
     cell_size: float = 32.0,
     n_patrols: int = 32,
+    dense=None,
+    scenario_actors=None,
+    obstacles=None,
 ) -> StaticScene:
-    dense = [trace_mod.trace_route(graph, r.waypoints) for r in route_defs]
+    """``dense`` optionally supplies precomputed DenseRoutes (imported
+    reference towns densify from the route's own legs, scene/town_import.py,
+    instead of re-tracing through the merged graph).
+
+    ``scenario_actors`` maps route_id -> [(polyline_xy, target_speed), ...]
+    — per-task scripted vehicles (the actors.json counterpart,
+    scenario_actor_handler.py:6-50). Their polylines are appended to the
+    patrol arrays and activated per ego route by sim/traffic.py.
+
+    ``obstacles`` is a list of (x, y, yaw, half_x, half_y) static OBBs
+    (buildings, poles); colliding with one scores a layout collision
+    (criteria/collision.py semantics, penalty 0.65)."""
+    if dense is None:
+        dense = [trace_mod.trace_route(graph, r.waypoints)
+                 for r in route_defs]
 
     R = len(dense)
     # +96 headroom keeps dynamic_slice windows at the route tail from
@@ -224,9 +276,30 @@ def build_scene(
     if len(spawn) == 0:
         spawn = np.zeros((1, 3), np.float32)
 
-    patrol_xy, patrol_yaw, patrol_cmd, patrol_n = _build_patrols(
-        graph, n_patrols
+    polylines = _build_patrols(graph, n_patrols)
+    sa_max = max(
+        (len(v) for v in (scenario_actors or {}).values()), default=0
     )
+    R_total = len(route_defs)
+    sa_patrol = np.full((R_total, max(sa_max, 1)), -1, np.int32)
+    sa_speed = np.zeros((R_total, max(sa_max, 1)), np.float32)
+    for rid, actors in (scenario_actors or {}).items():
+        for j, (poly, speed) in enumerate(actors):
+            sa_patrol[rid, j] = len(polylines)
+            sa_speed[rid, j] = speed
+            polylines.append(_polyline_with_yaw(poly))
+    patrol_xy, patrol_yaw, patrol_cmd, patrol_n = _pad_polyline_set(
+        polylines
+    )
+
+    obs_list = list(obstacles or ())
+    O = max(len(obs_list), 1)
+    ob_pose = np.zeros((O, 3), np.float32)
+    ob_extent = np.ones((O, 2), np.float32) * 0.01
+    ob_pose[:, 0] = 1.0e6   # empty slots live far away
+    for i, (x, y, yaw, hx, hy) in enumerate(obs_list):
+        ob_pose[i] = (x, y, yaw)
+        ob_extent[i] = (hx, hy)
 
     return StaticScene(
         route_xy=jnp.asarray(route_xy),
@@ -260,6 +333,12 @@ def build_scene(
         patrol_yaw=jnp.asarray(patrol_yaw),
         patrol_cmd=jnp.asarray(patrol_cmd),
         patrol_n=jnp.asarray(patrol_n),
+        sa_patrol=jnp.asarray(sa_patrol),
+        sa_speed=jnp.asarray(sa_speed),
+        sa_max=sa_max,
+        ob_pose=jnp.asarray(ob_pose),
+        ob_extent=jnp.asarray(ob_extent),
+        ob_n=len(obstacles or ()),
     )
 
 

@@ -65,18 +65,23 @@ def extract_segments(graph: LaneGraph, max_err: float = 0.35) -> SegmentSoup:
     lane: List[np.ndarray] = []
     lane_val: List[float] = []
     half = graph.lane_width / 2.0
+    from gail_carla_tpu.scene.road_option import RoadOption
+
+    change_opts = (RoadOption.CHANGELANELEFT, RoadOption.CHANGELANERIGHT)
     for e in graph.edges:
         ch = _chordify(e.pts, max_err)
         ab = np.concatenate([ch[:-1], ch[1:]], axis=1)  # (M, 4)
         road.append(ab)
         road_junction.extend([1.0 if e.is_junction else 0.0] * len(ab))
-        if not e.is_junction:
+        if not e.is_junction and e.option not in change_opts:
             d = ch[1:] - ch[:-1]
             n = d / (np.linalg.norm(d, axis=1, keepdims=True) + 1e-9)
             right = np.stack([-n[:, 1], n[:, 0]], axis=1)
-            # broken centre marking at -half (road centre), solid edge at
-            # +half (outer boundary) — see scene/raster.py
-            for off, val in ((-half, 120.0), (half, 255.0)):
+            # marking values per edge: default broken centre at -half
+            # (road centre), solid at +half (outer boundary); multi-lane
+            # roads override via mark_vals — see scene/raster.py
+            for off, val in ((-half, e.mark_vals[0]),
+                             (half, e.mark_vals[1])):
                 a = ch[:-1] + right * off
                 b = ch[1:] + right * off
                 lane.append(np.concatenate([a, b], axis=1))

@@ -27,13 +27,18 @@ LANE_WIDTH = 3.5  # m, matches typical CARLA town lanes
 
 @dataclasses.dataclass
 class LaneEdge:
-    """A directed lane segment: polyline sampled at ~1 m."""
+    """A directed lane segment: polyline sampled at ~1 m.
+
+    ``mark_vals`` are the lane-marking mask values drawn at (-half, +half)
+    lateral offsets (chauffeurnet.py:188-189 values: 120 broken white /
+    255 solid); multi-lane roads set the inter-lane boundary broken."""
 
     src: int
     dst: int
     pts: np.ndarray            # (M, 2) float64, includes both endpoints
     option: RoadOption         # command while traversing this edge
     is_junction: bool
+    mark_vals: Tuple[float, float] = (120.0, 255.0)
 
     @property
     def length(self) -> float:
@@ -148,11 +153,19 @@ def make_grid_town(
     junction_margin: float = 8.0,
     signal_period: int = 2,
     seed: int = 0,
+    lanes_per_direction: int = 1,
 ) -> LaneGraph:
     """Procedural Manhattan-grid town: ``nx`` x ``ny`` intersections spaced
-    ``block`` metres apart, two-lane roads (one lane per direction), junction
-    connectors for straight/left/right, traffic lights on a checkerboard of
-    junctions and stop signs on the rest.
+    ``block`` metres apart, roads with ``lanes_per_direction`` lanes each
+    way, junction connectors for straight/left/right, traffic lights on a
+    checkerboard of junctions and stop signs on the rest.
+
+    With ``lanes_per_direction > 1`` roads carry zero-lane-discipline
+    CHANGELANE connectors between adjacent same-direction lanes (the
+    reference planner's lane-change edges,
+    ``global_route_planner.py:148-184``), right/left turns are restricted to
+    the outer/inner lane, and the gnss command carry rule for commands 5/6
+    (``navigation/gnss.py:109-116``) becomes reachable.
 
     This plays the role CARLA's Town01-06 play for the reference (which ships
     them pre-rendered in ``carla_gym/core/obs_manager/birdview/maps/*.h5``).
@@ -160,6 +173,7 @@ def make_grid_town(
     rng = np.random.default_rng(seed)
     del rng  # layout is deterministic; rng reserved for future variation
 
+    L = max(int(lanes_per_direction), 1)
     half = lane_width / 2.0
     nodes: List[np.ndarray] = []
     edges: List[LaneEdge] = []
@@ -173,16 +187,22 @@ def make_grid_town(
     def inter_center(i: int, j: int) -> np.ndarray:
         return np.array([i * block, j * block], dtype=np.float64)
 
-    # For each junction, the entry/exit "ports": one per (approach dir, io).
-    # port key: (i, j, heading_idx, 'in'|'out'); headings: 0=E,1=S,2=W,3=N
+    # For each junction, the entry/exit "ports": one per
+    # (approach dir, io, lane). headings: 0=E,1=S,2=W,3=N; lane 0 is the
+    # innermost (nearest road centre), lane L-1 the outer/curbside lane.
     HEADINGS = [0.0, math.pi / 2, math.pi, -math.pi / 2]
     DIRS = [np.array([1.0, 0.0]), np.array([0.0, 1.0]),
             np.array([-1.0, 0.0]), np.array([0.0, -1.0])]
-    ports: Dict[Tuple[int, int, int, str], int] = {}
+    ports: Dict[Tuple[int, int, int, str, int], int] = {}
 
     def right_of(h: int) -> np.ndarray:
         yaw = HEADINGS[h]
         return np.array([-math.sin(yaw), math.cos(yaw)])  # (−sin, cos)
+
+    def lane_marks(lane: int) -> Tuple[float, float]:
+        # inner boundary (road centre side) is broken; between-lane
+        # boundaries broken; only the outermost boundary is solid
+        return (120.0, 255.0 if lane == L - 1 else 120.0)
 
     for i in range(nx):
         for j in range(ny):
@@ -190,37 +210,81 @@ def make_grid_town(
             for h in range(4):
                 fwd = DIRS[h]
                 rgt = right_of(h)
-                # Traffic moving with heading h *into* this junction arrives
-                # at the junction edge opposite to its travel direction.
-                p_in = c - fwd * junction_margin + rgt * half
-                p_out = c + fwd * junction_margin + rgt * half
-                ports[(i, j, h, "in")] = add_node(p_in)
-                ports[(i, j, h, "out")] = add_node(p_out)
+                for lane in range(L):
+                    off = half + lane * lane_width
+                    # Traffic moving with heading h *into* this junction
+                    # arrives at the edge opposite to its travel direction.
+                    p_in = c - fwd * junction_margin + rgt * off
+                    p_out = c + fwd * junction_margin + rgt * off
+                    ports[(i, j, h, "in", lane)] = add_node(p_in)
+                    ports[(i, j, h, "out", lane)] = add_node(p_out)
 
-    # Straight road lanes between adjacent junctions (both directions).
+    # Straight road lanes between adjacent junctions (both directions),
+    # split at interior fractions when multi-lane so CHANGELANE connectors
+    # have anchor nodes.
+    CHANGE_FRACS = (0.35, 0.65) if L > 1 else ()
+
+    def add_road(a: int, b: int, lane: int):
+        """One directed lane a->b; returns the list of node ids along it
+        (including the split points)."""
+        pa, pb = nodes[a], nodes[b]
+        chain = [a]
+        for f in CHANGE_FRACS:
+            chain.append(add_node(pa + (pb - pa) * f))
+        chain.append(b)
+        for u, v in zip(chain[:-1], chain[1:]):
+            edges.append(
+                LaneEdge(u, v, _sample_line(nodes[u], nodes[v]),
+                         RoadOption.LANEFOLLOW, False,
+                         mark_vals=lane_marks(lane))
+            )
+        return chain
+
+    def add_lane_changes(chains: List[List[int]]):
+        """CHANGELANE connectors between adjacent same-direction lanes:
+        from each split node to the NEXT split node of the neighbour lane
+        (zero-cost edges in the reference planner,
+        global_route_planner.py:148-184; here cost = diagonal length)."""
+        for lane in range(L - 1):
+            lo, hi = chains[lane], chains[lane + 1]
+            for k in range(1, len(lo) - 1):
+                # lane -> lane+1 moves right
+                edges.append(LaneEdge(
+                    lo[k], hi[k + 1],
+                    _sample_line(nodes[lo[k]], nodes[hi[k + 1]]),
+                    RoadOption.CHANGELANERIGHT, False,
+                ))
+                edges.append(LaneEdge(
+                    hi[k], lo[k + 1],
+                    _sample_line(nodes[hi[k]], nodes[lo[k + 1]]),
+                    RoadOption.CHANGELANELEFT, False,
+                ))
+
     for i in range(nx):
         for j in range(ny):
             for h, (di, dj) in ((0, (1, 0)), (1, (0, 1))):
                 i2, j2 = i + di, j + dj
                 if i2 >= nx or j2 >= ny:
                     continue
-                a = ports[(i, j, h, "out")]
-                b = ports[(i2, j2, h, "in")]
-                edges.append(
-                    LaneEdge(a, b, _sample_line(nodes[a], nodes[b]),
-                             RoadOption.LANEFOLLOW, False)
-                )
+                fwd_chains = [
+                    add_road(ports[(i, j, h, "out", lane)],
+                             ports[(i2, j2, h, "in", lane)], lane)
+                    for lane in range(L)
+                ]
+                add_lane_changes(fwd_chains)
                 h_op = (h + 2) % 4
-                a2 = ports[(i2, j2, h_op, "out")]
-                b2 = ports[(i, j, h_op, "in")]
-                edges.append(
-                    LaneEdge(a2, b2, _sample_line(nodes[a2], nodes[b2]),
-                             RoadOption.LANEFOLLOW, False)
-                )
+                rev_chains = [
+                    add_road(ports[(i2, j2, h_op, "out", lane)],
+                             ports[(i, j, h_op, "in", lane)], lane)
+                    for lane in range(L)
+                ]
+                add_lane_changes(rev_chains)
 
     # Junction connectors: from each in-port to the out-ports of the three
     # non-reverse headings (straight / right / left), when that exit road
-    # exists on the grid.
+    # exists on the grid. Lane discipline for L > 1: right turns only from
+    # the outer lane, left turns only from the inner lane, straight
+    # stays in lane.
     def road_exists(i: int, j: int, h: int) -> bool:
         di, dj = int(round(DIRS[h][0])), int(round(DIRS[h][1]))
         i2, j2 = i + di, j + dj
@@ -231,26 +295,34 @@ def make_grid_town(
             for h_in in range(4):
                 if not road_exists(i, j, (h_in + 2) % 4):
                     continue  # no incoming road from behind
-                src = ports[(i, j, h_in, "in")]
                 for h_out in range(4):
                     if h_out == (h_in + 2) % 4:
                         continue  # no U-turns
                     if not road_exists(i, j, h_out):
                         continue
-                    dst = ports[(i, j, h_out, "out")]
-                    pts = _sample_arc(
-                        nodes[src], HEADINGS[h_in], nodes[dst], HEADINGS[h_out]
-                    )
-                    edges.append(
-                        LaneEdge(
-                            src, dst, pts,
-                            _turn_option(HEADINGS[h_in], HEADINGS[h_out]),
-                            True,
+                    option = _turn_option(HEADINGS[h_in], HEADINGS[h_out])
+                    if option == RoadOption.STRAIGHT:
+                        lane_pairs = [(l2, l2) for l2 in range(L)]
+                    elif option == RoadOption.RIGHT:
+                        lane_pairs = [(L - 1, L - 1)]
+                    else:
+                        lane_pairs = [(0, 0)]
+                    for l_in, l_out in lane_pairs:
+                        src = ports[(i, j, h_in, "in", l_in)]
+                        dst = ports[(i, j, h_out, "out", l_out)]
+                        pts = _sample_arc(
+                            nodes[src], HEADINGS[h_in],
+                            nodes[dst], HEADINGS[h_out],
                         )
-                    )
+                        edges.append(
+                            LaneEdge(src, dst, pts, option, True)
+                        )
 
     # Signals: checkerboard — even (i+j) junctions get traffic lights (when
     # they join >= 2 roads per axis), odd ones get stop signs on each entry.
+    # Stop lines / trigger boxes span all L approach lanes.
+    span_c = half + (L - 1) * lane_width / 2.0   # centre of the lane band
+    span_h = (L * lane_width / 2.0) * 1.2        # half-extent across lanes
     for i in range(nx):
         for j in range(ny):
             c = inter_center(i, j)
@@ -262,9 +334,9 @@ def make_grid_town(
                 for h in entries:
                     fwd = DIRS[h]
                     rgt = right_of(h)
-                    p_in = c - fwd * junction_margin + rgt * half
-                    a = p_in - rgt * half * 1.2
-                    b = p_in + rgt * half * 1.2
+                    p_in = c - fwd * junction_margin + rgt * span_c
+                    a = p_in - rgt * span_h
+                    b = p_in + rgt * span_h
                     lights.append(
                         TrafficLightFixture(
                             stop_a=a, stop_b=b, yaw=HEADINGS[h],
@@ -275,11 +347,11 @@ def make_grid_town(
                 for h in entries:
                     fwd = DIRS[h]
                     rgt = right_of(h)
-                    p_in = c - fwd * junction_margin + rgt * half
+                    p_in = c - fwd * junction_margin + rgt * span_c
                     stops.append(
                         StopSignFixture(
                             center=p_in - fwd * 1.0, yaw=HEADINGS[h],
-                            extent=np.array([2.0, half * 1.2]),
+                            extent=np.array([2.0, span_h]),
                         )
                     )
 
@@ -291,6 +363,36 @@ def make_grid_town(
         nodes=np.array(nodes), edges=edges, adjacency=adjacency,
         traffic_lights=lights, stop_signs=stops, lane_width=lane_width,
     )
+
+
+def grid_building_obstacles(
+    nx: int = 4,
+    ny: int = 4,
+    block: float = 100.0,
+    lane_width: float = LANE_WIDTH,
+    lanes_per_direction: int = 1,
+    margin: float = 2.5,
+    junction_margin: float = 8.0,
+) -> List[Tuple[float, float, float, float, float]]:
+    """Building OBBs filling each interior block of the grid town, inset
+    ``margin`` m from the road band (and from the junction box, whose
+    turning arcs swing wider than the straight lanes). These are the static
+    actors the reference's collision sensor can hit
+    (criteria/collision.py:49-112) — clipping a block corner scores a
+    layout collision while part of the car is still on the road."""
+    road_half = max(
+        lanes_per_direction * lane_width, junction_margin
+    ) + margin
+    half = block / 2.0 - road_half
+    out = []
+    if half <= 2.0:
+        return out
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            out.append(
+                ((i + 0.5) * block, (j + 0.5) * block, 0.0, half, half)
+            )
+    return out
 
 
 def nearest_edge_point(graph: LaneGraph, xy: np.ndarray) -> Tuple[int, int]:

@@ -85,11 +85,34 @@ def trace_route(graph: LaneGraph, waypoints: np.ndarray) -> DenseRoute:
     yaw = np.concatenate([yaw_seg, yaw_seg[-1:]])
     s = np.concatenate([[0.0], np.cumsum(np.linalg.norm(d, axis=1))])
 
+    cmd = _collapse_lane_changes(cmd)
     plan_idx = _downsample(xy, cmd, sample_factor=50.0)
     return DenseRoute(
         xy=xy, yaw=yaw, cmd=cmd, s=s,
         plan_xy=xy[plan_idx], plan_cmd=cmd[plan_idx],
     )
+
+
+def _collapse_lane_changes(cmd: np.ndarray, keep: int = 2) -> np.ndarray:
+    """Keep only the first ``keep`` points of each CHANGELANE run.
+
+    The reference's lane-change graph edges have empty interior paths
+    (``global_route_planner.py:148-184``), so a change contributes 1-2 route
+    points; our diagonal connectors are ~20 m of sampled polyline — without
+    collapsing, every metre of them would be kept by the downsampler
+    (``route_manipulation.py:129-132`` samples every lane-change point)."""
+    out = cmd.copy()
+    lane_change = (int(RoadOption.CHANGELANELEFT),
+                   int(RoadOption.CHANGELANERIGHT))
+    run = 0
+    for i in range(len(cmd)):
+        if int(cmd[i]) in lane_change:
+            run += 1
+            if run > keep:
+                out[i] = int(RoadOption.LANEFOLLOW)
+        else:
+            run = 0
+    return out
 
 
 def _downsample(xy: np.ndarray, cmd: np.ndarray, sample_factor: float):

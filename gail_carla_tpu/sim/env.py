@@ -155,10 +155,11 @@ def reset_env(
         resume_idx=resume_idx.astype(jnp.int32),
         completed_last=completed_last,
         rng=rng,
-        traffic=reset_traffic(scene, cfg, k_traffic, ego.xy),
+        traffic=reset_traffic(scene, cfg, k_traffic, ego.xy, route_id),
         history=(
             make_empty_history(
-                cfg.n_npc_vehicles, cfg.n_npc_walkers,
+                cfg.n_npc_vehicles + cfg.n_scenario_actors,
+                cfg.n_npc_walkers,
                 scene.tl_stop.shape[0], scene.ss_center.shape[0],
             )
             if cfg.full_bev else None
@@ -276,6 +277,37 @@ def _static_collision(scene, params: VehicleParams, ego: VehicleState,
     return ~jnp.any(on_road)
 
 
+def _obstacle_collision(scene, params: VehicleParams, ego: VehicleState):
+    """Ego OBB vs static-obstacle OBBs (separating-axis test). The
+    reference's collision sensor fires on any static actor
+    (criteria/collision.py:49-112 classifies it as layout, penalty 0.65);
+    obstacles come from StaticScene.ob_pose/ob_extent."""
+    if scene.ob_n == 0:
+        return jnp.zeros((), bool)
+    he = jnp.asarray([params.half_length, params.half_width])
+
+    def axes(yaw):
+        c, s = jnp.cos(yaw), jnp.sin(yaw)
+        return jnp.stack([jnp.stack([c, s]), jnp.stack([-s, c])])
+
+    O = scene.ob_pose.shape[0]
+    ego_ax = axes(ego.yaw)                            # (2, 2)
+    ob_ax = jax.vmap(axes)(scene.ob_pose[:, 2])       # (O, 2, 2)
+    d = scene.ob_pose[:, :2] - ego.xy[None, :]        # (O, 2)
+    all_ax = jnp.concatenate(
+        [jnp.broadcast_to(ego_ax[None], (O, 2, 2)), ob_ax], axis=1
+    )                                                 # (O, 4, 2)
+    proj_d = jnp.abs(jnp.einsum("oac,oc->oa", all_ax, d))
+    r_ego = jnp.abs(jnp.einsum("oac,bc->oab", all_ax, ego_ax)) @ he
+    r_ob = jnp.einsum(
+        "oab,ob->oa",
+        jnp.abs(jnp.einsum("oac,obc->oab", all_ax, ob_ax)),
+        scene.ob_extent,
+    )
+    separated = jnp.any(proj_d > r_ego + r_ob, axis=1)
+    return jnp.any(~separated)
+
+
 def _route_transform(scene, rid, head, last_head):
     """task_vehicle.get_route_transform (task_vehicle.py:217-227): pose of
     the last passed route point, heading toward the current head."""
@@ -360,6 +392,32 @@ def step_env(
     # (steer, throttle) per carla_env.py:120-126, or (steer, throttle,
     # brake) per the multi-agent action space (carla_multi_agent_env.py:
     # 42-46) — shape decided statically
+    # --- endless target extension (task_vehicle.py:67-82,143-145): when
+    #     the route row is nearly exhausted, chain onto the next row whose
+    #     start pose equals this row's end pose; completed metres and the
+    #     episode route length both accumulate, so the route never ends ---
+    if cfg.endless_extension and scene.endless_next is not None:
+        rid0 = state.route_id
+        n_cur = scene.route_n[rid0]
+        rid_next = scene.endless_next[rid0]
+        # switch at the row end (the next row starts at this row's end
+        # pose, so cursor/deviation stay continuous); endless episodes
+        # never complete the route — c_route is disabled below
+        switch = (state.head >= n_cur - 2) & (rid_next != rid0)
+        completed_so_far = scene.route_s[rid0, state.head] - state.s0
+        state = state.replace(
+            route_id=jnp.where(switch, rid_next, rid0),
+            head=jnp.where(switch, 0, state.head),
+            last_head=jnp.where(switch, 0, state.last_head),
+            s0=jnp.where(switch, -completed_so_far, state.s0),
+            route_len_ep=jnp.where(
+                switch,
+                state.route_len_ep + scene.route_len_m[rid_next],
+                state.route_len_ep,
+            ),
+            plan_idx=jnp.where(switch, -1, state.plan_idx),
+        )
+
     steer, throttle = action[0], action[1]
     brake = action[2] if action.shape[0] > 2 else jnp.zeros(())
     ego = step_vehicle(state.ego, steer, throttle, brake, cfg.dt, params)
@@ -400,11 +458,17 @@ def step_env(
     c_route = (total > cfg.completion_pct) & (
         jnp.linalg.norm(ego.xy - end_xy) < cfg.completion_dist
     )
+    if cfg.endless_extension:
+        # endless tasks have no route end (endless_env.py:4-56; success is
+        # surviving to max_time, terminal/valeo.py:92-96)
+        c_route = jnp.zeros((), bool)
     c_timeout = step_count >= cfg.max_steps
 
     # --- collisions (one shared spatial-hash fetch per step) ---
     road_segs, road_flag, _, _ = fetch_cell(scene, ego.xy)
-    c_collision_static = _static_collision(scene, params, ego, road_segs)
+    c_collision_static = _static_collision(
+        scene, params, ego, road_segs
+    ) | _obstacle_collision(scene, params, ego)
     c_col_veh, c_col_ped = _dynamic_collisions(state.traffic, params, ego)
     c_collision = c_collision_static | c_col_veh | c_col_ped
 

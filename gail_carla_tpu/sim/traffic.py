@@ -37,16 +37,57 @@ NPC_PARAMS = VehicleParams()  # same vehicle class as the ego
 
 
 def reset_traffic(
-    scene: StaticScene, cfg: EnvConfig, rng, ego_xy
+    scene: StaticScene, cfg: EnvConfig, rng, ego_xy, route_id=None
 ) -> TrafficState:
     """Spawn K vehicles on random patrol points >= 10 m from the ego
     (zombie_vehicle_handler.py:30-40) and W walkers at random spawn
-    points with random goals and speeds."""
+    points with random goals and speeds.
+
+    The last ``cfg.n_scenario_actors`` vehicle slots are the task's
+    scripted scenario actors (scenario_actor_handler.py:15-37): they spawn
+    at the start of their route-specific polyline (scene.sa_patrol keyed by
+    the ego's route) at their task-defined target speed; routes with fewer
+    actors park the spare slots far away."""
     K, W = cfg.n_npc_vehicles, cfg.n_npc_walkers
-    t = make_empty_traffic(K, W)
-    if K == 0 and W == 0:
+    A = cfg.n_scenario_actors
+    t = make_empty_traffic(K + A, W)
+    if K + A == 0 and W == 0:
         return t
     k_p, k_h, k_s, k_wx, k_wg, k_ws = jax.random.split(rng, 6)
+
+    if A > 0:
+        if route_id is None:
+            route_id = jnp.zeros((), jnp.int32)
+        width = scene.sa_patrol.shape[1]
+        j = jnp.arange(A)
+        row = jnp.where(
+            j < width,
+            scene.sa_patrol[route_id, jnp.minimum(j, width - 1)],
+            -1,
+        )
+        active = row >= 0
+        row_safe = jnp.maximum(row, 0)
+        sa_xy = jnp.where(
+            active[:, None],
+            scene.patrol_xy[row_safe, 0],
+            1.0e6 + 10.0 * j.astype(jnp.float32)[:, None],
+        )
+        sa_yaw = jnp.where(active, scene.patrol_yaw[row_safe, 0], 0.0)
+        sa_speed = jnp.where(
+            active,
+            scene.sa_speed[route_id, jnp.minimum(j, width - 1)],
+            0.0,
+        )
+        t = t.replace(
+            veh=jax.tree.map(
+                lambda full, sa: full.at[K:].set(sa),
+                t.veh,
+                VehicleState(xy=sa_xy, yaw=sa_yaw,
+                             speed=jnp.zeros((A,))),
+            ),
+            veh_patrol=t.veh_patrol.at[K:].set(row_safe.astype(jnp.int32)),
+            veh_target_speed=t.veh_target_speed.at[K:].set(sa_speed),
+        )
 
     if K > 0:
         P = scene.patrol_xy.shape[0]
@@ -85,11 +126,15 @@ def reset_traffic(
 
         yaw = jax.vmap(pyaw)(patrol, head)
         t = t.replace(
-            veh=VehicleState(xy=xy, yaw=yaw, speed=jnp.zeros((K,))),
-            veh_patrol=patrol.astype(jnp.int32),
-            veh_head=head.astype(jnp.int32),
-            veh_target_speed=jax.random.uniform(
-                k_s, (K,), minval=4.5, maxval=6.5
+            veh=jax.tree.map(
+                lambda full, nv: full.at[:K].set(nv),
+                t.veh,
+                VehicleState(xy=xy, yaw=yaw, speed=jnp.zeros((K,))),
+            ),
+            veh_patrol=t.veh_patrol.at[:K].set(patrol.astype(jnp.int32)),
+            veh_head=t.veh_head.at[:K].set(head.astype(jnp.int32)),
+            veh_target_speed=t.veh_target_speed.at[:K].set(
+                jax.random.uniform(k_s, (K,), minval=4.5, maxval=6.5)
             ),
         )
 
@@ -137,12 +182,19 @@ def step_traffic(
     sim_time,
     rng,
 ) -> TrafficState:
-    """One tick for all NPCs in one world."""
+    """One tick for all NPCs in one world. The last
+    ``cfg.n_scenario_actors`` vehicle slots are scripted scenario actors:
+    they ignore lead/red-light braking (the reference's scenario agents
+    drive blind — constant_speed_agent.py:5-29, basic_agent.py:32 disables
+    hazard checks) and stop at the end of their route instead of
+    teleporting back."""
     K = traffic.veh_patrol.shape[0]
     W = traffic.walker_xy.shape[0]
     if K == 0 and W == 0:
         return traffic
     out = traffic
+    n_sa = cfg.n_scenario_actors
+    is_scenario = jnp.arange(K) >= (K - n_sa)
 
     if K > 0:
         tl_states = signals.light_states(scene, sim_time)
@@ -190,7 +242,11 @@ def step_traffic(
         desired_cap = jax.vmap(npc_desired)(
             jnp.arange(K), traffic.veh
         )
-        target = jnp.minimum(traffic.veh_target_speed, desired_cap)
+        target = jnp.where(
+            is_scenario,
+            traffic.veh_target_speed,
+            jnp.minimum(traffic.veh_target_speed, desired_cap),
+        )
 
         ap, actions = jax.vmap(
             lambda a, v, p, h, ts: local_planner_act(
@@ -209,9 +265,11 @@ def step_traffic(
             lambda p, h, xy: _advance_patrol(scene, p, h, xy)
         )(traffic.veh_patrol, traffic.veh_head, veh.xy)
 
-        # patrol exhausted -> teleport back to its start (zombie_vehicle.py)
+        # patrol exhausted -> zombies teleport back to the start
+        # (zombie_vehicle.py); scenario actors stop at their route end
         n = scene.patrol_n[traffic.veh_patrol]
-        at_end = head >= (n - 8)
+        at_end = head >= jnp.where(is_scenario, n - 2, n - 8)
+        teleport = at_end & (~is_scenario)
         start_xy = jax.vmap(
             lambda p: jax.lax.dynamic_slice(
                 scene.patrol_xy, (p, 0, 0), (1, 1, 2)
@@ -223,22 +281,26 @@ def step_traffic(
             )[0, 0]
         )(traffic.veh_patrol)
         veh = VehicleState(
-            xy=jnp.where(at_end[:, None], start_xy, veh.xy),
-            yaw=jnp.where(at_end, start_yaw, veh.yaw),
+            xy=jnp.where(teleport[:, None], start_xy, veh.xy),
+            yaw=jnp.where(teleport, start_yaw, veh.yaw),
             speed=jnp.where(at_end, 0.0, veh.speed),
         )
-        head = jnp.where(at_end, 0, head)
+        head = jnp.where(teleport, 0, head)
         ap0 = jax.tree.map(
             lambda a: jnp.broadcast_to(a, (K,) + a.shape), make_autopilot()
         )
         ap = jax.tree.map(
             lambda a, b: jnp.where(
-                at_end.reshape((K,) + (1,) * (a.ndim - 1)), b, a
+                teleport.reshape((K,) + (1,) * (a.ndim - 1)), b, a
             ),
             ap, ap0,
         )
         out = out.replace(
-            veh=veh, veh_head=head.astype(jnp.int32), veh_ap=ap
+            veh=veh, veh_head=head.astype(jnp.int32), veh_ap=ap,
+            # ended scenario actors park for the rest of the episode
+            veh_target_speed=jnp.where(
+                at_end & is_scenario, 0.0, traffic.veh_target_speed
+            ),
         )
 
     if W > 0:

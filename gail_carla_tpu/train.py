@@ -34,6 +34,17 @@ from gail_carla_tpu.utils import checkpoint as ckpt_mod
 from gail_carla_tpu.utils.logging import MetricsWriter
 
 
+def make_scene(scene_kwargs):
+    """Scene dispatch: ``{"town": "Town01"}`` builds the reconstructed
+    reference town (scene/town_import.py); otherwise the procedural grid
+    benchmark."""
+    if "town" in scene_kwargs:
+        from gail_carla_tpu.scene.town_import import make_town_scene
+
+        return make_town_scene(**scene_kwargs)
+    return make_benchmark_scene(**scene_kwargs)
+
+
 def make_presets():
     smoke = dict(
         env=EnvConfig(train=True, bev_width=64),
@@ -55,19 +66,32 @@ def make_presets():
         scene=dict(n_routes=10, nx=4, ny=4, block=100.0, min_length=400.0),
         demo_steps=4000,
     )
-    return {"smoke": smoke, "reference": reference}
+    # the reference's ACTUAL benchmark: reconstructed Town01, training
+    # routes 0-9 (route 3 held out), params_variable.json:10-14
+    town01 = dict(
+        env=EnvConfig(train=True),
+        model=ModelConfig(),
+        train=TrainConfig(n_envs=10),
+        scene=dict(town="Town01"),
+        demo_steps=4000,
+    )
+    return {"smoke": smoke, "reference": reference, "town01": town01}
 
 
 def run(env_cfg, model_cfg, tcfg, scene_kwargs, demo_steps,
         max_updates=None, log_dir="runs/wdgail", ckpt_dir=None,
         use_sharding=None, profile=False, demo_obey_signals=False,
         eval_all_routes=False, ckpt_keep=2):
-    scene = make_benchmark_scene(**scene_kwargs)
+    scene = make_scene(scene_kwargs)
     writer = MetricsWriter(log_dir)
 
     # --- expert demos on device (train + held-out val split) ---
     routes = jnp.asarray(tcfg.routes, jnp.int32)
-    demo_cfg = dataclasses.replace(env_cfg, train=False)
+    # expert gen runs with a longer episode cap than training
+    # (carla_exp.py:25 uses env_ep_length=6000 vs the training 2400)
+    demo_cfg = dataclasses.replace(
+        env_cfg, train=False, max_time=max(env_cfg.max_time, 600.0)
+    )
     demos = generate_demos(
         scene, demo_cfg, jax.random.PRNGKey(1337), routes, demo_steps,
         obey_signals=demo_obey_signals,
