@@ -28,16 +28,15 @@ from gail_carla_tpu.scene.scene import StaticScene
 from gail_carla_tpu.sim.dynamics import (
     DEFAULT_VEHICLE, VehicleParams, VehicleState, step_vehicle,
 )
+from gail_carla_tpu.sim.collisions import (
+    dedup_events, dynamic_collisions, obstacle_collision, static_collision,
+)
+from gail_carla_tpu.sim.cursor import (
+    advance_cursor, advance_plan, route_transform,
+)
 from gail_carla_tpu.sim.state import WorldState, make_empty_history
 from gail_carla_tpu.sim.traffic import reset_traffic, step_traffic
 from gail_carla_tpu.sim.transforms import vec_global_to_ref
-
-# 1 degree of the reference's equatorial Web-Mercator == R*pi/180 metres.
-_METERS_PER_DEG = 111319.4907932736
-
-# Route-cursor search window: task_vehicle.py:103 uses windows_size=5 and
-# evaluates segments i = 0..5 inclusive.
-_CURSOR_WINDOW = 6
 
 
 @struct.dataclass
@@ -140,6 +139,9 @@ def reset_env(
         speed_q_len=zi,
         stuck_counter=zi,
         last_lat_dist=z,
+        col_xy=jnp.full((2,), 1e9),
+        col_time=jnp.full((), -1e9),
+        col_id=jnp.full((), -1, jnp.int32),
         n_col_static=zi,
         n_col_vehicle=zi,
         n_col_walker=zi,
@@ -167,62 +169,12 @@ def reset_env(
     )
 
 
-def _advance_cursor(scene: StaticScene, state: WorldState, ego_xy):
-    """task_vehicle._truncate_global_route_till_local_target: walk the route
-    head forward past every segment whose direction has positive dot with
-    the vehicle offset, within a fixed window."""
-    rid, head = state.route_id, state.head
-    n = scene.route_n[rid]
-    offs = jnp.arange(_CURSOR_WINDOW)
-    # contiguous window via dynamic_slice (gather-free; route rows are
-    # padded with the final point so reads past n-1 are degenerate)
-    win = jax.lax.dynamic_slice(
-        scene.route_xy, (rid, head, 0), (1, _CURSOR_WINDOW + 1, 2)
-    )[0]
-    p0 = win[:-1]
-    p1 = win[1:]
-    wp_dir = p1 - p0
-    wp_veh = ego_xy[None, :] - p0
-    dot = jnp.sum(wp_dir * wp_veh, axis=-1)
-    valid = (head + offs) < (n - 1)
-    adv = jnp.max(jnp.where((dot > 0) & valid, offs + 1, 0))
-    new_head = jnp.minimum(head + adv, n - 1)
-    dist = scene.route_s[rid, new_head] - scene.route_s[rid, head]
-    last_head = jnp.where(adv > 0, head, state.last_head)
-    return new_head, last_head, dist
-
-
-def _advance_plan(scene, cfg: EnvConfig, rng, ego, rid, plan_idx):
-    """gnss.py:96-116: advance the leaderboard-plan target when the (noisy)
-    GNSS fix says it is within 12 m and behind; derive the command with the
-    lane-change carry rule."""
-    noise = (
-        jax.random.normal(rng, (2,)) * cfg.gnss_noise_deg * _METERS_PER_DEG
-    )
-    noisy_xy = ego.xy + noise
-    pn = scene.plan_n[rid]
-    nxt = scene.plan_xy[rid, jnp.minimum(plan_idx + 1, pn - 1)]
-    local = vec_global_to_ref(nxt - noisy_xy, ego.yaw)
-    advance = (jnp.linalg.norm(local) < cfg.target_advance_dist) & (
-        local[0] < 0.0
-    )
-    idx = jnp.minimum(plan_idx + advance.astype(jnp.int32), pn - 2)
-
-    opt0 = scene.plan_cmd[rid, jnp.maximum(idx, 0)]
-    opt1 = scene.plan_cmd[rid, jnp.minimum(idx + 1, pn - 1)]
-    is_lc0 = (opt0 == 5) | (opt0 == 6)
-    is_lc1 = (opt1 == 5) | (opt1 == 6)
-    command = jnp.where(is_lc0 & (~is_lc1), opt1, opt0)
-    target_gps = scene.plan_gps[rid, jnp.minimum(idx + 1, pn - 1)]
-    return idx, command, target_gps
-
-
 def _observe(scene, cfg: EnvConfig, state: WorldState):
     """Metrics 4-vector (carla_env.py:140-144) + render state. Mutates
     plan_idx/rng (the reference advances the target inside
     ``get_observation`` once per tick)."""
     rng, k = jax.random.split(state.rng)
-    plan_idx, command, target_gps = _advance_plan(
+    plan_idx, command, target_gps = advance_plan(
         scene, cfg, k, state.ego, state.route_id, state.plan_idx
     )
     speed = jnp.abs(state.ego.speed)
@@ -254,122 +206,6 @@ def observe(scene, cfg: EnvConfig, state: WorldState):
     """Public: (state', metrics, render) — call after reset, and step calls
     it internally each tick."""
     return _observe(scene, cfg, state)
-
-
-def _static_collision(scene, params: VehicleParams, ego: VehicleState,
-                      road_segs):
-    """Stand-in for CARLA's collision sensor against layout
-    (criteria/collision.py): fires when the vehicle body has fully left the
-    drivable surface (all four bounding-box corners farther from every road
-    capsule than the lane half-width — same geometry the BEV renderer and
-    the offline rasterizer use). ``road_segs`` comes from the step's single
-    shared fetch_cell."""
-    from gail_carla_tpu.ops.bev import capsule_min_dist2
-
-    c, s = jnp.cos(ego.yaw), jnp.sin(ego.yaw)
-    f = jnp.stack([c, s]) * params.half_length
-    r = jnp.stack([-s, c]) * params.half_width
-    corners = ego.xy[None, :] + jnp.stack(
-        [f + r, f - r, -f + r, -f - r], axis=0
-    )
-    d2 = capsule_min_dist2(corners, road_segs)
-    on_road = d2 <= scene.half_lane**2
-    return ~jnp.any(on_road)
-
-
-def _obstacle_collision(scene, params: VehicleParams, ego: VehicleState):
-    """Ego OBB vs static-obstacle OBBs (separating-axis test). The
-    reference's collision sensor fires on any static actor
-    (criteria/collision.py:49-112 classifies it as layout, penalty 0.65);
-    obstacles come from StaticScene.ob_pose/ob_extent."""
-    if scene.ob_n == 0:
-        return jnp.zeros((), bool)
-    he = jnp.asarray([params.half_length, params.half_width])
-
-    def axes(yaw):
-        c, s = jnp.cos(yaw), jnp.sin(yaw)
-        return jnp.stack([jnp.stack([c, s]), jnp.stack([-s, c])])
-
-    O = scene.ob_pose.shape[0]
-    ego_ax = axes(ego.yaw)                            # (2, 2)
-    ob_ax = jax.vmap(axes)(scene.ob_pose[:, 2])       # (O, 2, 2)
-    d = scene.ob_pose[:, :2] - ego.xy[None, :]        # (O, 2)
-    all_ax = jnp.concatenate(
-        [jnp.broadcast_to(ego_ax[None], (O, 2, 2)), ob_ax], axis=1
-    )                                                 # (O, 4, 2)
-    proj_d = jnp.abs(jnp.einsum("oac,oc->oa", all_ax, d))
-    r_ego = jnp.abs(jnp.einsum("oac,bc->oab", all_ax, ego_ax)) @ he
-    r_ob = jnp.einsum(
-        "oab,ob->oa",
-        jnp.abs(jnp.einsum("oac,obc->oab", all_ax, ob_ax)),
-        scene.ob_extent,
-    )
-    separated = jnp.any(proj_d > r_ego + r_ob, axis=1)
-    return jnp.any(~separated)
-
-
-def _route_transform(scene, rid, head, last_head):
-    """task_vehicle.get_route_transform (task_vehicle.py:217-227): pose of
-    the last passed route point, heading toward the current head."""
-    loc0 = scene.route_xy[rid, last_head]
-    loc1 = scene.route_xy[rid, head]
-    d = loc1 - loc0
-    dist = jnp.linalg.norm(d)
-    yaw = jnp.where(
-        dist < 0.1,
-        scene.route_yaw[rid, head],
-        jnp.arctan2(d[1], d[0]),
-    )
-    return loc0, yaw
-
-
-def _dynamic_collisions(traffic, params: VehicleParams, ego: VehicleState):
-    """Ego vs zombie vehicles (OBB-OBB separating axis) and vs walkers
-    (inflated containment). Replaces the CARLA collision sensor's dynamic
-    cases (criteria/collision.py:49-112 classifies by actor type)."""
-    from gail_carla_tpu.sim.transforms import vec_global_to_ref
-
-    K = traffic.veh.yaw.shape[0]
-    W = traffic.walker_xy.shape[0]
-    ez = jnp.zeros((), bool)
-
-    col_veh = ez
-    if K > 0:
-        he = jnp.asarray([params.half_length, params.half_width])
-
-        def axes(yaw):
-            c, s = jnp.cos(yaw), jnp.sin(yaw)
-            return jnp.stack([jnp.stack([c, s]), jnp.stack([-s, c])])
-
-        ego_ax = axes(ego.yaw)                   # (2, 2)
-        npc_ax = jax.vmap(axes)(traffic.veh.yaw)  # (K, 2, 2)
-        d = traffic.veh.xy - ego.xy[None, :]      # (K, 2)
-        all_ax = jnp.concatenate(
-            [jnp.broadcast_to(ego_ax[None], (K, 2, 2)), npc_ax], axis=1
-        )                                         # (K, 4, 2)
-        proj_d = jnp.abs(jnp.einsum("kac,kc->ka", all_ax, d))
-        r_ego = jnp.abs(
-            jnp.einsum("kac,bc->kab", all_ax, ego_ax)
-        ) @ he
-        r_npc = jnp.einsum(
-            "kab,b->ka", jnp.abs(jnp.einsum("kac,kbc->kab", all_ax, npc_ax)),
-            he,
-        )
-        separated = jnp.any(proj_d > r_ego + r_npc, axis=1)
-        col_veh = jnp.any(~separated)
-
-    col_ped = ez
-    if W > 0:
-        local = vec_global_to_ref(
-            traffic.walker_xy - ego.xy[None, :], ego.yaw
-        )
-        inside = (
-            (jnp.abs(local[:, 0]) < params.half_length + 0.4)
-            & (jnp.abs(local[:, 1]) < params.half_width + 0.4)
-        )
-        col_ped = jnp.any(inside)
-
-    return col_veh, col_ped
 
 
 def step_env(
@@ -422,7 +258,7 @@ def step_env(
     brake = action[2] if action.shape[0] > 2 else jnp.zeros(())
     ego = step_vehicle(state.ego, steer, throttle, brake, cfg.dt, params)
 
-    head, last_head, dist_traveled = _advance_cursor(scene, state, ego.xy)
+    head, last_head, dist_traveled = advance_cursor(scene, state, ego.xy)
     rid = state.route_id
     n = scene.route_n[rid]
     route_completed = scene.route_s[rid, head] - state.s0
@@ -466,11 +302,20 @@ def step_env(
 
     # --- collisions (one shared spatial-hash fetch per step) ---
     road_segs, road_flag, _, _ = fetch_cell(scene, ego.xy)
-    c_collision_static = _static_collision(
+    raw_static = static_collision(
         scene, params, ego, road_segs
-    ) | _obstacle_collision(scene, params, ego)
-    c_col_veh, c_col_ped = _dynamic_collisions(state.traffic, params, ego)
-    c_collision = c_collision_static | c_col_veh | c_col_ped
+    ) | obstacle_collision(scene, params, ego)
+    hits = dynamic_collisions(state.traffic, params, ego)
+    ev = dedup_events(
+        ego, sim_time, raw_static, hits, traffic.veh.yaw.shape[0],
+        state.col_xy, state.col_time, state.col_id,
+    )
+    c_collision_static = ev.static
+    c_col_veh = ev.veh
+    c_col_ped = ev.ped
+    c_collision = ev.any
+    col_xy, col_time, col_id = ev.col_xy, ev.col_time, ev.col_id
+    collision_intensity = ev.intensity
 
     # --- signal criteria ---
     tl_states = signals.light_states(scene, sim_time)
@@ -512,7 +357,7 @@ def step_env(
     ).astype(jnp.int32)
     c_stuck = stuck_counter >= cfg.stuck_steps
 
-    route_tf_xy, route_tf_yaw = _route_transform(
+    route_tf_xy, route_tf_yaw = route_transform(
         scene, rid, head, last_head
     )
     d_vec = ego.xy - route_tf_xy
@@ -529,7 +374,7 @@ def step_env(
     flags = term.CriteriaFlags(
         c_route=c_route, c_blocked=c_blocked, c_deviation=c_deviation,
         c_collision=c_collision, c_run_red=ran_red, c_run_stop=ran_stop,
-        c_collision_px=c_col_ped, c_stuck=c_stuck, c_lat_dist=c_lat_dist,
+        c_collision_px=hits.ped, c_stuck=c_stuck, c_lat_dist=c_lat_dist,
         timeout=c_timeout,
     )
     tout = term.compute_terminal(
@@ -628,6 +473,9 @@ def step_env(
         speed_q_len=speed_q_len,
         stuck_counter=stuck_counter,
         last_lat_dist=lat_dist,
+        col_xy=col_xy,
+        col_time=col_time,
+        col_id=col_id,
         n_col_static=n_col_static,
         n_col_vehicle=n_col_vehicle,
         n_col_walker=n_col_walker,
@@ -660,6 +508,7 @@ def step_env(
         "collision": c_collision,
         "collision_vehicle": c_col_veh,
         "collision_walker": c_col_ped,
+        "collision_intensity": collision_intensity,
         "run_red_light": ran_red,
         "run_stop_sign": ran_stop,
         "encounter_light": enc_light,

@@ -64,9 +64,9 @@ def observe_full(
     }
 
     # --- actor_state.route (route.py:8-71) ---
-    from gail_carla_tpu.sim.env import _route_transform
+    from gail_carla_tpu.sim.cursor import route_transform
 
-    tf_xy, tf_yaw = _route_transform(scene, rid, head, state.last_head)
+    tf_xy, tf_yaw = route_transform(scene, rid, head, state.last_head)
     d_vec = ego.xy - tf_xy
     right = jnp.stack([-jnp.sin(tf_yaw), jnp.cos(tf_yaw)])
     lateral = jnp.sum(right * d_vec)

@@ -32,7 +32,13 @@ class TrafficState:
     veh_target_speed: jnp.ndarray  # (K,) f32
     walker_xy: jnp.ndarray         # (W, 2)
     walker_yaw: jnp.ndarray        # (W,)
-    walker_goal: jnp.ndarray       # (W, 2)
+    # Sidewalk-following state (the CARLA navmesh equivalent,
+    # zombie_walker_handler.py:7-98): each walker tracks a lane polyline at
+    # a signed lateral offset; crossings lerp the offset to the other side.
+    walker_patrol: jnp.ndarray     # (W,) i32 lane polyline id
+    walker_head: jnp.ndarray       # (W,) i32 polyline cursor
+    walker_off: jnp.ndarray        # (W,) f32 current signed lateral offset
+    walker_off_t: jnp.ndarray      # (W,) f32 target offset (sign flips = cross)
     walker_speed: jnp.ndarray      # (W,) 1-2 m/s (zombie_walker_handler.py)
 
 
@@ -87,6 +93,13 @@ class WorldState:
     speed_q_len: jnp.ndarray       # () i32
     stuck_counter: jnp.ndarray     # () i32
     last_lat_dist: jnp.ndarray     # () f32
+    # --- collision-event dedup memory (criteria/collision.py:14-23:
+    #     registered location ±3/5 m, last actor id remembered 5 s) ---
+    col_xy: jnp.ndarray            # (2,) f32 last registered collision loc
+    col_time: jnp.ndarray          # () f32 sim time of the last event
+    col_id: jnp.ndarray            # () i32 last hit actor id (-1 none;
+    #                                  1+k vehicles, 1+K+w walkers; static
+    #                                  never sets it, collision.py:110-112)
     # --- episode infraction counters (ego_vehicle_handler.py:96-109) ---
     n_col_static: jnp.ndarray      # () i32 collisions_layout
     n_col_vehicle: jnp.ndarray     # () i32
@@ -129,6 +142,9 @@ def make_empty_traffic(n_veh: int = 0, n_walkers: int = 0) -> TrafficState:
         veh_target_speed=jnp.full((n_veh,), 5.5),
         walker_xy=jnp.zeros((n_walkers, 2)),
         walker_yaw=jnp.zeros((n_walkers,)),
-        walker_goal=jnp.zeros((n_walkers, 2)),
+        walker_patrol=jnp.zeros((n_walkers,), jnp.int32),
+        walker_head=jnp.zeros((n_walkers,), jnp.int32),
+        walker_off=jnp.zeros((n_walkers,)),
+        walker_off_t=jnp.zeros((n_walkers,)),
         walker_speed=jnp.ones((n_walkers,)),
     )

@@ -11,9 +11,14 @@ zombie_vehicle/zombie_vehicle_handler.py:8-83``); walkers get a
   the TrafficManager's observable behaviours — brake for a lead vehicle and
   for red lights; the patrol loops by teleporting back to its start (the
   reference also teleports zombies, zombie_vehicle.py:4-14);
-- walkers: straight-line goal seeking; a new random goal on arrival. (No
-  sidewalk navmesh here, so walkers roam near roads — strictly more
-  hazardous than CARLA's sidewalk-biased crowds.)
+- walkers: sidewalk following. CARLA's navmesh keeps crowds on sidewalks
+  (``controller.ai.walker``); the TPU-native equivalent walks each walker
+  along a lane polyline at a signed lateral offset of ±(half_lane +
+  SIDEWALK_OFFSET) — i.e. the pavement band just off the road edge — and
+  occasionally starts a road crossing by flipping the target offset's sign,
+  lerping across at walking speed. (On multi-lane roads the offset is
+  relative to the walker's chosen lane, so the band can overlap an adjacent
+  lane — a strictly-more-hazardous approximation, noted per VERDICT #7.)
 
 Everything is vmapped over the K NPCs inside each (already-vmapped) world.
 """
@@ -34,6 +39,13 @@ from gail_carla_tpu.sim.state import TrafficState, make_empty_traffic
 from gail_carla_tpu.sim.transforms import cast_angle, vec_global_to_ref
 
 NPC_PARAMS = VehicleParams()  # same vehicle class as the ego
+
+# Sidewalk band centre, metres beyond the lane half-width (CARLA pavements
+# are ~2 m wide; the navmesh keeps walkers near their middle).
+SIDEWALK_OFFSET = 1.2
+# Mean seconds between road crossings per walker (CARLA's
+# set_pedestrians_cross_factor default keeps crossings rare).
+CROSS_EVERY_S = 40.0
 
 
 def reset_traffic(
@@ -139,21 +151,43 @@ def reset_traffic(
         )
 
     if W > 0:
-        Q = scene.spawn.shape[0]
+        P = scene.patrol_xy.shape[0]
+        pat = jax.random.randint(k_wx, (W,), 0, P)
+        frac = jax.random.uniform(k_wg, (W,))
 
-        def spawn_at(f):
-            i = (f * Q).astype(jnp.int32) % Q
-            return jax.lax.dynamic_slice(scene.spawn, (i, 0), (1, 3))[0, :2]
+        def start(p, f):
+            n = scene.patrol_n[p]
+            h = jnp.clip(
+                (f * (n.astype(jnp.float32) - 2.0)).astype(jnp.int32),
+                0, n - 2,
+            )
+            win = jax.lax.dynamic_slice(
+                scene.patrol_xy, (p, h, 0), (1, 2, 2)
+            )[0]
+            return h, win[0], win[1]
 
-        wx = jax.vmap(spawn_at)(jax.random.uniform(k_wx, (W,)))
-        jitter = jax.random.normal(k_wx, (W, 2)) * 3.0
-        goals = jax.vmap(spawn_at)(jax.random.uniform(k_wg, (W,)))
+        head, c0, c1 = jax.vmap(start)(pat, frac)
+        seg = c1 - c0
+        tang = seg / (jnp.linalg.norm(seg, axis=-1, keepdims=True) + 1e-6)
+        normal = jnp.stack([-tang[:, 1], tang[:, 0]], axis=-1)
+        # right-hand traffic (town.py:12): the kerbside pavement is to the
+        # RIGHT (+normal) of the lane direction; the opposite pavement sits
+        # past the oncoming lane at -(3*half_lane + SIDEWALK_OFFSET)
+        k_side, k_speed = jax.random.split(k_ws)
+        near = scene.half_lane + SIDEWALK_OFFSET
+        far = -(3.0 * scene.half_lane + SIDEWALK_OFFSET)
+        off = jnp.where(
+            jax.random.uniform(k_side, (W,)) < 0.5, near, far
+        )
         t = t.replace(
-            walker_xy=wx + jitter,
-            walker_yaw=jnp.zeros((W,)),
-            walker_goal=goals,
+            walker_xy=c0 + off[:, None] * normal,
+            walker_yaw=jnp.arctan2(tang[:, 1], tang[:, 0]),
+            walker_patrol=pat.astype(jnp.int32),
+            walker_head=head.astype(jnp.int32),
+            walker_off=off,
+            walker_off_t=off,
             walker_speed=jax.random.uniform(
-                k_ws, (W,), minval=1.0, maxval=2.0
+                k_speed, (W,), minval=1.0, maxval=2.0
             ),
         )
     return t
@@ -304,25 +338,67 @@ def step_traffic(
         )
 
     if W > 0:
-        d = traffic.walker_goal - traffic.walker_xy
-        dist = jnp.linalg.norm(d, axis=-1, keepdims=True)
-        step = d / (dist + 1e-6) * traffic.walker_speed[:, None] * cfg.dt
+        # sidewalk following: chase the next polyline point displaced by the
+        # current lateral offset; flipping walker_off_t's sign starts a road
+        # crossing (the offset lerps across at walking speed).
+        def wp_rows(p, h):
+            win = jax.lax.dynamic_slice(
+                scene.patrol_xy, (p, h, 0), (1, 2, 2)
+            )[0]
+            return win[0], win[1]
+
+        c0, c1 = jax.vmap(wp_rows)(
+            traffic.walker_patrol, traffic.walker_head
+        )
+        seg = c1 - c0
+        tang = seg / (jnp.linalg.norm(seg, axis=-1, keepdims=True) + 1e-6)
+        normal = jnp.stack([-tang[:, 1], tang[:, 0]], axis=-1)
+
+        # a crossing toggles the target between the kerbside pavement and
+        # the one across the road (both off-road bands; the walker is ON
+        # the road only while traversing)
+        near = scene.half_lane + SIDEWALK_OFFSET
+        far = -(3.0 * scene.half_lane + SIDEWALK_OFFSET)
+        flip = jax.random.uniform(rng, (W,)) < cfg.dt / CROSS_EVERY_S
+        off_t = jnp.where(
+            flip, near + far - traffic.walker_off_t, traffic.walker_off_t
+        )
+        step_len = traffic.walker_speed * cfg.dt
+        off = traffic.walker_off + jnp.clip(
+            off_t - traffic.walker_off, -step_len, step_len
+        )
+
+        target = c1 + off[:, None] * normal
+        d = target - traffic.walker_xy
+        dist = jnp.linalg.norm(d, axis=-1)
+        step = d / (dist[:, None] + 1e-6) * step_len[:, None]
         new_xy = traffic.walker_xy + step
         yaw = jnp.arctan2(d[:, 1], d[:, 0])
-        reached = dist[:, 0] < 1.0
-        Q = scene.spawn.shape[0]
-        f = jax.random.uniform(rng, (W,))
 
-        def spawn_at(ff):
-            i = (ff * Q).astype(jnp.int32) % Q
-            return jax.lax.dynamic_slice(scene.spawn, (i, 0), (1, 3))[0, :2]
-
-        new_goal = jnp.where(
-            reached[:, None],
-            jax.vmap(spawn_at)(f),
-            traffic.walker_goal,
+        n = scene.patrol_n[traffic.walker_patrol]
+        head = jnp.where(
+            dist < 1.0,
+            traffic.walker_head + 1,
+            traffic.walker_head,
+        )
+        # polyline exhausted -> loop back to its start (the reference's
+        # walkers respawn on navmesh death, zombie_walker_handler.py:60-75)
+        at_end = head >= n - 1
+        head = jnp.where(at_end, 0, head)
+        s0, s1 = jax.vmap(wp_rows)(
+            traffic.walker_patrol, jnp.zeros((W,), jnp.int32)
+        )
+        sseg = s1 - s0
+        stang = sseg / (
+            jnp.linalg.norm(sseg, axis=-1, keepdims=True) + 1e-6
+        )
+        snormal = jnp.stack([-stang[:, 1], stang[:, 0]], axis=-1)
+        new_xy = jnp.where(
+            at_end[:, None], s0 + off[:, None] * snormal, new_xy
         )
         out = out.replace(
-            walker_xy=new_xy, walker_yaw=yaw, walker_goal=new_goal
+            walker_xy=new_xy, walker_yaw=yaw,
+            walker_head=head.astype(jnp.int32),
+            walker_off=off, walker_off_t=off_t,
         )
     return out

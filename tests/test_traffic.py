@@ -65,11 +65,37 @@ def test_npcs_drive_lanes_and_walkers_move(scene):
     assert np.asarray(states.traffic.veh.speed).max() < 10.0
 
 
+def test_walkers_keep_to_sidewalks(scene):
+    """VERDICT #7: walkers follow the pavement band (lane half-width +
+    SIDEWALK_OFFSET off the lane centreline) instead of roaming the road;
+    reference walkers stay on navmesh sidewalks
+    (zombie_walker_handler.py:7-98)."""
+    from gail_carla_tpu.sim.traffic import SIDEWALK_OFFSET
+
+    cfg = EnvConfig(train=False, n_npc_vehicles=0, n_npc_walkers=8)
+    states, _, _ = reset_batch(
+        scene, cfg, jax.random.PRNGKey(1), jnp.zeros((2,), jnp.int32)
+    )
+    actions = jnp.zeros((2, 2))
+    samples = []
+    for _ in range(60):
+        states, _ = step_batch(scene, cfg, states, actions)
+        samples.append(np.asarray(states.traffic.walker_xy).reshape(-1, 2))
+    pts = np.concatenate(samples, axis=0)
+    dmin = _capsule_min_dist(scene, pts)
+    off_road = dmin > scene.half_lane
+    near_band = dmin < scene.half_lane + SIDEWALK_OFFSET + 1.5
+    # crossings are rare (CROSS_EVERY_S), so the vast majority of samples
+    # sit in the sidewalk band
+    assert off_road.mean() > 0.8, dmin
+    assert near_band.mean() > 0.9, dmin
+
+
 def test_ego_collides_with_npc(scene):
     """Teleport-free check: drive the ego into a spot occupied by an NPC by
     making NPCs static obstacles (target speed ~0 via no patrol advance is
     hard to force, so instead verify the OBB test directly through info)."""
-    from gail_carla_tpu.sim.env import _dynamic_collisions
+    from gail_carla_tpu.sim.collisions import dynamic_collisions
     from gail_carla_tpu.sim.dynamics import DEFAULT_VEHICLE, VehicleState
     from gail_carla_tpu.sim.state import make_empty_traffic
 
@@ -85,8 +111,10 @@ def test_ego_collides_with_npc(scene):
         xy=jnp.asarray([0.0, 0.0]), yaw=jnp.asarray(0.0),
         speed=jnp.asarray(5.0),
     )
-    col_v, col_p = _dynamic_collisions(t, DEFAULT_VEHICLE, ego)
-    assert bool(col_v) and not bool(col_p)
+    hits = dynamic_collisions(t, DEFAULT_VEHICLE, ego)
+    assert bool(hits.veh) and not bool(hits.ped)
+    assert int(hits.veh_id) == 0
+    assert float(hits.veh_rel_speed) == pytest.approx(5.0, abs=0.01)
 
     # walker under the bumper
     t2 = t.replace(
@@ -96,13 +124,69 @@ def test_ego_collides_with_npc(scene):
         ),
         walker_xy=jnp.asarray([[1.5, 0.0]]),
     )
-    col_v, col_p = _dynamic_collisions(t2, DEFAULT_VEHICLE, ego)
-    assert bool(col_p) and not bool(col_v)
+    hits = dynamic_collisions(t2, DEFAULT_VEHICLE, ego)
+    assert bool(hits.ped) and not bool(hits.veh)
 
     # nothing nearby
     t3 = t2.replace(walker_xy=jnp.asarray([[50.0, 0.0]]))
-    col_v, col_p = _dynamic_collisions(t3, DEFAULT_VEHICLE, ego)
-    assert not bool(col_v) and not bool(col_p)
+    hits = dynamic_collisions(t3, DEFAULT_VEHICLE, ego)
+    assert not bool(hits.veh) and not bool(hits.ped)
+
+
+def test_collision_event_dedup():
+    """criteria/collision.py:27-62: sustained/nearby contact registers ONE
+    event; the location is forgotten 5 m away; the same actor id is ignored
+    for 5 s."""
+    from gail_carla_tpu.sim.collisions import DynHits, dedup_events
+    from gail_carla_tpu.sim.dynamics import VehicleState
+
+    def mk_hits(veh=False):
+        return DynHits(
+            veh=jnp.asarray(veh), ped=jnp.asarray(False),
+            veh_id=jnp.zeros((), jnp.int32), ped_id=jnp.zeros((), jnp.int32),
+            veh_rel_speed=jnp.asarray(3.0), ped_rel_speed=jnp.asarray(0.0),
+        )
+
+    ego = VehicleState(xy=jnp.asarray([0.0, 0.0]), yaw=jnp.zeros(()),
+                       speed=jnp.asarray(2.0))
+    mem = (jnp.full((2,), 1e9), jnp.full((), -1e9),
+           jnp.full((), -1, jnp.int32))
+
+    # first contact -> event
+    ev = dedup_events(ego, jnp.asarray(1.0), jnp.asarray(False),
+                      mk_hits(veh=True), 4, *mem)
+    assert bool(ev.veh) and float(ev.intensity) == pytest.approx(3.0)
+    mem = (ev.col_xy, ev.col_time, ev.col_id)
+
+    # still in contact at the same spot one tick later -> suppressed
+    ev2 = dedup_events(ego, jnp.asarray(1.1), jnp.asarray(False),
+                       mk_hits(veh=True), 4, *mem)
+    assert not bool(ev2.any)
+
+    # same actor again 2 m away within 3 m radius -> suppressed
+    ego2 = ego.replace(xy=jnp.asarray([2.0, 0.0]))
+    ev3 = dedup_events(ego2, jnp.asarray(2.0), jnp.asarray(False),
+                       mk_hits(veh=True), 4, *(ev2.col_xy, ev2.col_time,
+                                               ev2.col_id))
+    assert not bool(ev3.any)
+
+    # 6 m away (location forgotten) and > 5 s later (id expired) -> event
+    ego3 = ego.replace(xy=jnp.asarray([6.0, 0.0]))
+    ev4 = dedup_events(ego3, jnp.asarray(7.0), jnp.asarray(False),
+                       mk_hits(veh=True), 4, *(ev3.col_xy, ev3.col_time,
+                                               ev3.col_id))
+    assert bool(ev4.veh)
+
+    # 6 m away but SAME actor within 5 s -> still suppressed (id rule)
+    ev5 = dedup_events(ego3, jnp.asarray(2.0), jnp.asarray(False),
+                       mk_hits(veh=True), 4, *(ev.col_xy, ev.col_time,
+                                               ev.col_id))
+    assert not bool(ev5.veh)
+
+    # static collision never sets the id rule; it fires by location only
+    ev6 = dedup_events(ego3, jnp.asarray(2.0), jnp.asarray(True),
+                       mk_hits(), 4, *(ev.col_xy, ev.col_time, ev.col_id))
+    assert bool(ev6.static) and float(ev6.intensity) == pytest.approx(2.0)
 
 
 def test_traffic_env_still_deterministic(scene):
