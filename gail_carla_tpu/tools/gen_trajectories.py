@@ -76,9 +76,22 @@ def gen_trajectories(
         "rgb": 0.0, "rgb_left": math.radians(-55.0),
         "rgb_right": math.radians(55.0),
     }
-    render_cam = jax.jit(
-        lambda r, off: render_camera(scene, r.xy, r.yaw, off)
-    )
+    def _cam(r, off, traffic, t):
+        from gail_carla_tpu.sim import signals
+
+        veh_pose = jnp.concatenate(
+            [traffic.veh.xy, traffic.veh.yaw[:, None]], axis=1
+        )
+        walker_pose = jnp.concatenate(
+            [traffic.walker_xy, traffic.walker_yaw[:, None]], axis=1
+        )
+        return render_camera(
+            scene, r.xy, r.yaw, off, veh_pose=veh_pose,
+            walker_pose=walker_pose,
+            tl_states=signals.light_states(scene, t),
+        )
+
+    render_cam = jax.jit(_cam)
 
     root = Path(out_dir) / traj_name
     rng = jax.random.PRNGKey(1337)
@@ -126,10 +139,13 @@ def gen_trajectories(
                     np.asarray(rendered),
                 )
                 if with_cameras:
+                    traffic0 = jax.tree.map(
+                        lambda a: a[0], states.traffic
+                    )
                     for name, off in cams.items():
                         save_png(
                             ep_dir / name / f"{i_step:04d}.png",
-                            np.asarray(render_cam(r0, off)),
+                            np.asarray(render_cam(r0, off, traffic0, t)),
                         )
                 actions_ep.append(np.asarray(action).tolist())
                 metrics_ep.append(np.asarray(metrics[0]).tolist())

@@ -61,6 +61,36 @@ def test_camera_renders(scene):
         "no road visible ahead"
 
 
+def test_camera_renders_actor_boxes(scene):
+    """Ray-traced 3D boxes: a vehicle 12 m ahead paints the BEV vehicle
+    colour; a walker off to the side paints walker colour; both occlude
+    the ground behind them (obs_manager/camera/rgb.py is UE4-rendered;
+    this is the geometric stand-in)."""
+    import jax.numpy as jnp
+
+    from gail_carla_tpu.ops.camera import render_camera
+
+    xy = scene.route_xy[0, 5]
+    yaw = scene.route_yaw[0, 5]
+    fwd = np.array([np.cos(float(yaw)), np.sin(float(yaw))])
+    right = np.array([-fwd[1], fwd[0]])
+    veh = jnp.asarray(
+        [[*(np.asarray(xy) + 12.0 * fwd), float(yaw)]]
+    )
+    wkr = jnp.asarray(
+        [[*(np.asarray(xy) + 8.0 * fwd + 2.5 * right), float(yaw)]]
+    )
+    img = np.asarray(
+        render_camera(scene, xy, yaw, 0.0, veh_pose=veh, walker_pose=wkr)
+    )
+    assert (img == np.array([0, 0, 255])).all(axis=-1).any(), "no vehicle"
+    assert (img == np.array([0, 255, 255])).all(axis=-1).any(), "no walker"
+    # vehicle box must sit around the image centre row (roofline above
+    # the horizon at 12 m: atan((1.5-1.3)/12) ~ 1deg above centre)
+    ys, xs = np.where((img == np.array([0, 0, 255])).all(axis=-1))
+    assert abs(ys.mean() - 108) < 40 and abs(xs.mean() - 192) < 60
+
+
 def test_exporter_and_loader_roundtrip(scene, tmp_path, monkeypatch):
     from gail_carla_tpu.tools.gen_trajectories import gen_trajectories
     from gail_carla_tpu.tools.expert_dataset import (
