@@ -33,6 +33,10 @@ ROUTE_WINDOW = 84       # dense points sliced at the cursor (>= 80 drawn)
 ROUTE_STRIDE = 4        # subsample for capsule segments (20 segs over 80 m)
 ROUTE_HALF_W = 1.6      # m; 16 px stroke at 5 px/m (chauffeurnet.py:152)
 LANE_HALF_W = 0.25      # m; ~2 px marking stroke
+# mask values normalise by multiplying with the rounded f32 reciprocal —
+# Mosaic lowers /255.0 as a reciprocal multiply, so using the explicit
+# multiply on the XLA side keeps kernel and reference outputs bit-identical
+INV_255 = 1.0 / 255.0
 
 
 def pixel_world_coords(cfg: EnvConfig, xy, yaw):
@@ -52,26 +56,36 @@ def pixel_world_coords(cfg: EnvConfig, xy, yaw):
     scale = w / (w - 1.0) / ppm
     cols = jnp.arange(w, dtype=jnp.float32)
     rows = jnp.arange(w, dtype=jnp.float32)
+    # scale folded into the direction vectors first — the same op order as
+    # the Pallas kernel (ops/bev_pallas.py) so outputs stay bit-identical
     px = (
         top_left[None, None, :]
-        + cols[None, :, None] * scale * right[None, None, :]
-        - rows[:, None, None] * scale * fwd[None, None, :]
+        + cols[None, :, None] * (scale * right)[None, None, :]
+        - rows[:, None, None] * (scale * fwd)[None, None, :]
     )
     return px.reshape(w * w, 2)
+
+
+def capsule_dist2_all(px, seg_ab):
+    """(P, S) squared distance from each pixel to each segment, in the same
+    op order as the Pallas kernel's ``seg_d2`` (division hoisted to a
+    per-segment reciprocal) so XLA and Mosaic outputs stay bit-identical."""
+    a = seg_ab[None, :, :2]
+    b = seg_ab[None, :, 2:]
+    ab = b - a
+    inv_denom = 1.0 / (jnp.sum(ab * ab, -1) + 1e-9)
+    aab = jnp.sum(a * ab, -1)
+    t = jnp.clip(
+        (jnp.sum(px[:, None, :] * ab, -1) - aab) * inv_denom, 0.0, 1.0
+    )
+    d = (px[:, None, :] - a) - t[..., None] * ab
+    return jnp.sum(d * d, -1)
 
 
 def capsule_min_dist2(px, seg_ab):
     """(P,) min squared distance from each pixel to any segment.
     px: (P, 2); seg_ab: (S, 4)."""
-    a = seg_ab[None, :, :2]
-    b = seg_ab[None, :, 2:]
-    ab = b - a
-    ap = px[:, None, :] - a
-    t = jnp.clip(
-        jnp.sum(ap * ab, -1) / (jnp.sum(ab * ab, -1) + 1e-9), 0.0, 1.0
-    )
-    d2 = jnp.sum((ap - t[..., None] * ab) ** 2, -1)
-    return jnp.min(d2, axis=1)
+    return jnp.min(capsule_dist2_all(px, seg_ab), axis=1)
 
 
 def fetch_cell(scene: StaticScene, xy):
@@ -136,18 +150,11 @@ def render_bev(
 
     # lane channel keeps per-segment values: a pixel takes the max value of
     # any marking covering it (solid 255 beats broken 120)
-    a = lane_segs[None, :, :2]
-    b = lane_segs[None, :, 2:]
-    ab = b - a
-    ap = px[:, None, :] - a
-    t = jnp.clip(
-        jnp.sum(ap * ab, -1) / (jnp.sum(ab * ab, -1) + 1e-9), 0.0, 1.0
-    )
-    d2 = jnp.sum((ap - t[..., None] * ab) ** 2, -1)
+    d2 = capsule_dist2_all(px, lane_segs)
     hit = d2 <= LANE_HALF_W**2
     lane_ch = jnp.max(
         jnp.where(hit, lane_val[None, :], 0.0), axis=1
-    ) / 255.0
+    ) * INV_255
 
     img = jnp.stack([road_ch, route_ch, lane_ch], axis=0)
     return img.reshape(3, w, w)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from gail_carla_tpu.config import EnvConfig
 from gail_carla_tpu.ops.bev import render_bev, pixel_world_coords
+from gail_carla_tpu.ops.bev import INV_255
 from gail_carla_tpu.ops.bev_full import (
     _boxes_mask, capsule_min_dist2_per_seg, TL_LINE_HALF_W, WALKER_HALF,
 )
@@ -53,7 +54,7 @@ def render_bev6(scene: StaticScene, cfg: EnvConfig, r) -> jnp.ndarray:
     active = jnp.arange(S) == r.stop_idx
     half = jnp.where(active, ss_half, -1.0)
     stop_mask = _boxes_mask(px, scene.ss_center, scene.ss_yaw, half, half)
-    sig = jnp.maximum(sig, jnp.where(stop_mask, 255.0, 0.0)) / 255.0
+    sig = jnp.maximum(sig, jnp.where(stop_mask, 255.0, 0.0)) * INV_255
 
     # --- actor channels (current frame) ---
     K = r.npc_pose.shape[0]

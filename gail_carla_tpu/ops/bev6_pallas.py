@@ -20,6 +20,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gail_carla_tpu.config import EnvConfig
 from gail_carla_tpu.ops import bev as bev_xla
+from gail_carla_tpu.ops.bev import INV_255
 from gail_carla_tpu.ops.bev_full import TL_LINE_HALF_W, WALKER_HALF
 from gail_carla_tpu.scene.scene import StaticScene
 from gail_carla_tpu.sim import signals
@@ -50,80 +51,66 @@ def _kernel(
     c = pose_ref[0, 0, 2]
     s = pose_ref[0, 0, 3]
 
+    # flat (w*w/128, 128) pixel layout — see ops/bev_pallas.py
+    p = (w * w) // 128
     scale = (w / (w - 1.0)) / ppm
-    rows = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0).astype(jnp.float32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1).astype(jnp.float32)
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (p, 128), 0) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, (p, 128), 1)
+    )
+    rows = (flat // w).astype(jnp.float32)
+    cols = (flat % w).astype(jnp.float32)
     tl_x = x + ((w - ptb) / ppm) * c - (0.5 * w / ppm) * (-s)
     tl_y = y + ((w - ptb) / ppm) * s - (0.5 * w / ppm) * c
-    pxx = tl_x + cols * scale * (-s) - rows * scale * c
-    pxy = tl_y + cols * scale * c - rows * scale * s
+    pxx = tl_x + cols * (scale * -s) - rows * (scale * c)
+    pxy = tl_y + cols * (scale * c) - rows * (scale * s)
 
     big = jnp.float32(1.0e12)
+
+    def seg_d2(seg_ref, i):
+        # scalar per-segment math (incl. the reciprocal) on the SPU;
+        # multiply-adds only on the VPU — same op order as ops/bev.py
+        ax = seg_ref[0, i, 0]
+        ay = seg_ref[0, i, 1]
+        abx = seg_ref[0, i, 2] - ax
+        aby = seg_ref[0, i, 3] - ay
+        inv_denom = 1.0 / (abx * abx + aby * aby + 1e-9)
+        aab = ax * abx + ay * aby
+        t = jnp.clip(
+            (pxx * abx + pxy * aby - aab) * inv_denom, 0.0, 1.0
+        )
+        dx = (pxx - ax) - t * abx
+        dy = (pxy - ay) - t * aby
+        return dx * dx + dy * dy
 
     def min_d2_over(seg_ref):
         n = seg_ref.shape[1]
 
         def body(i, acc):
-            ax = seg_ref[0, i, 0]
-            ay = seg_ref[0, i, 1]
-            bx = seg_ref[0, i, 2]
-            by = seg_ref[0, i, 3]
-            abx = bx - ax
-            aby = by - ay
-            denom = abx * abx + aby * aby + 1e-9
-            t = jnp.clip(
-                ((pxx - ax) * abx + (pxy - ay) * aby) / denom, 0.0, 1.0
-            )
-            dx = pxx - (ax + t * abx)
-            dy = pxy - (ay + t * aby)
-            return jnp.minimum(acc, dx * dx + dy * dy)
+            return jnp.minimum(acc, seg_d2(seg_ref, i))
 
         return jax.lax.fori_loop(
-            0, n, body, jnp.full((w, w), big, jnp.float32)
+            0, n, body, jnp.full((p, 128), big, jnp.float32)
         )
 
     road_d2 = min_d2_over(road_ref)
     route_d2 = min_d2_over(route_ref)
 
     def lane_body(i, acc):
-        ax = lane_ref[0, i, 0]
-        ay = lane_ref[0, i, 1]
-        bx = lane_ref[0, i, 2]
-        by = lane_ref[0, i, 3]
-        abx = bx - ax
-        aby = by - ay
-        denom = abx * abx + aby * aby + 1e-9
-        t = jnp.clip(
-            ((pxx - ax) * abx + (pxy - ay) * aby) / denom, 0.0, 1.0
-        )
-        dx = pxx - (ax + t * abx)
-        dy = pxy - (ay + t * aby)
-        hit = (dx * dx + dy * dy) <= lane_half * lane_half
+        hit = seg_d2(lane_ref, i) <= lane_half * lane_half
         return jnp.maximum(acc, jnp.where(hit, laneval_ref[0, 0, i], 0.0))
 
     lane_v = jax.lax.fori_loop(
-        0, lane_ref.shape[1], lane_body, jnp.zeros((w, w), jnp.float32)
+        0, lane_ref.shape[1], lane_body, jnp.zeros((p, 128), jnp.float32)
     )
 
     # --- signals: valued stop-line capsules ---
     def tl_body(i, acc):
-        ax = tl_ref[0, i, 0]
-        ay = tl_ref[0, i, 1]
-        bx = tl_ref[0, i, 2]
-        by = tl_ref[0, i, 3]
-        abx = bx - ax
-        aby = by - ay
-        denom = abx * abx + aby * aby + 1e-9
-        t = jnp.clip(
-            ((pxx - ax) * abx + (pxy - ay) * aby) / denom, 0.0, 1.0
-        )
-        dx = pxx - (ax + t * abx)
-        dy = pxy - (ay + t * aby)
-        hit = (dx * dx + dy * dy) <= tl_half * tl_half
+        hit = seg_d2(tl_ref, i) <= tl_half * tl_half
         return jnp.maximum(acc, jnp.where(hit, tlval_ref[0, 0, i], 0.0))
 
     sig = jax.lax.fori_loop(
-        0, tl_ref.shape[1], tl_body, jnp.zeros((w, w), jnp.float32)
+        0, tl_ref.shape[1], tl_body, jnp.zeros((p, 128), jnp.float32)
     )
 
     # --- boxes: OBBs carrying a channel selector (0=sig, 1=veh, 2=walker)
@@ -150,14 +137,14 @@ def _kernel(
 
     sig, veh, wk = jax.lax.fori_loop(
         0, box_ref.shape[1], box_body,
-        (sig, jnp.zeros((w, w), jnp.float32),
-         jnp.zeros((w, w), jnp.float32)),
+        (sig, jnp.zeros((p, 128), jnp.float32),
+         jnp.zeros((p, 128), jnp.float32)),
     )
 
     out_ref[0, 0] = (road_d2 <= half_lane * half_lane).astype(jnp.float32)
     out_ref[0, 1] = (route_d2 <= route_half * route_half).astype(jnp.float32)
-    out_ref[0, 2] = lane_v / 255.0
-    out_ref[0, 3] = sig / 255.0
+    out_ref[0, 2] = lane_v * INV_255
+    out_ref[0, 3] = sig * INV_255
     out_ref[0, 4] = veh
     out_ref[0, 5] = wk
 
@@ -248,6 +235,12 @@ def render_bev6_pallas_batch(
     )(flat)
     nb = 1 + K + Wn
 
+    if (w * w) % 128 != 0:  # flat-pixel layout needs whole lanes
+        from gail_carla_tpu.ops.bev6 import render_bev6_batch
+
+        return render_bev6_batch(scene, cfg, render_state)
+    p128 = (w * w) // 128
+
     mr = road.shape[1]
     ml = lane.shape[1]
     k = route.shape[1]
@@ -279,10 +272,10 @@ def render_bev6_pallas_batch(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 6, w, w), lambda i: (i, 0, 0, 0),
+            (1, 6, p128, 128), lambda i: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, 6, w, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, 6, p128, 128), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=n * w * w * (mr + ml + k + T + nb) * 12,
             bytes_accessed=n * (6 * w * w * 4

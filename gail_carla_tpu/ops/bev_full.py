@@ -98,14 +98,7 @@ def render_bev_full(
     road = capsule_min_dist2(px, road_segs) <= scene.half_lane**2
     route = capsule_min_dist2(px, route_segs) <= ROUTE_HALF_W**2
 
-    a = lane_segs[None, :, :2]
-    b = lane_segs[None, :, 2:]
-    ab = b - a
-    ap_ = px[:, None, :] - a
-    t = jnp.clip(
-        jnp.sum(ap_ * ab, -1) / (jnp.sum(ab * ab, -1) + 1e-9), 0.0, 1.0
-    )
-    d2 = jnp.sum((ap_ - t[..., None] * ab) ** 2, -1)
+    d2 = capsule_min_dist2_per_seg(px, lane_segs)
     lane_u8 = jnp.max(
         jnp.where(d2 <= LANE_HALF_W**2, lane_val[None, :], 0.0), axis=1
     ).astype(jnp.uint8)
@@ -217,12 +210,9 @@ def render_bev_full(
 
 
 def capsule_min_dist2_per_seg(px, seg_ab):
-    """(P, S) squared distances (no min-reduce) for per-segment values."""
-    a = seg_ab[None, :, :2]
-    b = seg_ab[None, :, 2:]
-    ab = b - a
-    ap = px[:, None, :] - a
-    t = jnp.clip(
-        jnp.sum(ap * ab, -1) / (jnp.sum(ab * ab, -1) + 1e-9), 0.0, 1.0
-    )
-    return jnp.sum((ap - t[..., None] * ab) ** 2, -1)
+    """(P, S) squared distances (no min-reduce) for per-segment values.
+    Delegates to ops/bev.py::capsule_dist2_all so the op order matches the
+    Pallas kernels bit-for-bit."""
+    from gail_carla_tpu.ops.bev import capsule_dist2_all
+
+    return capsule_dist2_all(px, seg_ab)

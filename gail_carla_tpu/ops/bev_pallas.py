@@ -22,6 +22,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gail_carla_tpu.config import EnvConfig
 from gail_carla_tpu.ops import bev as bev_xla
+from gail_carla_tpu.ops.bev import INV_255
 from gail_carla_tpu.scene.scene import StaticScene
 
 
@@ -31,7 +32,7 @@ def _kernel(
     lane_ref,       # (1, Ml, 4)                                      VMEM
     laneval_ref,    # (1, 1, Ml)                                      SMEM
     route_ref,      # (1, K, 4)                                       VMEM
-    out_ref,        # (1, 3, W, W)                                    VMEM
+    out_ref,        # (1, 3, P, 128) flat-pixel layout                VMEM
     *,
     w: int,
     ppm: float,
@@ -45,40 +46,49 @@ def _kernel(
     c = pose_ref[0, 0, 2]
     s = pose_ref[0, 0, 3]
 
-    # pixel world coordinates (see ops/bev.py::pixel_world_coords)
+    # pixel world coordinates (see ops/bev.py::pixel_world_coords),
+    # computed on a flat (w*w/128, 128) layout so every VPU lane is live
+    # (a (192,192) block pads its minor dim to 256 — 25% idle lanes)
+    p = (w * w) // 128
     scale = (w / (w - 1.0)) / ppm
-    rows = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0).astype(jnp.float32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1).astype(jnp.float32)
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (p, 128), 0) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, (p, 128), 1)
+    )
+    rows = (flat // w).astype(jnp.float32)
+    cols = (flat % w).astype(jnp.float32)
     tl_x = x + ((w - ptb) / ppm) * c - (0.5 * w / ppm) * (-s)
     tl_y = y + ((w - ptb) / ppm) * s - (0.5 * w / ppm) * c
-    pxx = tl_x + cols * scale * (-s) - rows * scale * c
-    pxy = tl_y + cols * scale * c - rows * scale * s
+    pxx = tl_x + cols * (scale * -s) - rows * (scale * c)
+    pxy = tl_y + cols * (scale * c) - rows * (scale * s)
 
     big = jnp.float32(1.0e12)
 
+    def seg_d2(seg_ref, i):
+        """Per-pixel squared distance to segment i. All per-segment values
+        are scalars (SPU), so the vector pipeline runs multiply-adds only —
+        in particular the 1/denom division is hoisted off the VPU."""
+        ax = seg_ref[0, i, 0]
+        ay = seg_ref[0, i, 1]
+        abx = seg_ref[0, i, 2] - ax
+        aby = seg_ref[0, i, 3] - ay
+        inv_denom = 1.0 / (abx * abx + aby * aby + 1e-9)
+        aab = ax * abx + ay * aby
+        t = jnp.clip(
+            (pxx * abx + pxy * aby - aab) * inv_denom, 0.0, 1.0
+        )
+        dx = (pxx - ax) - t * abx
+        dy = (pxy - ay) - t * aby
+        return dx * dx + dy * dy
+
     def min_d2_over(seg_ref):
-        """Stream segments; accumulate per-pixel min squared distance.
-        Reads scalars straight from the VMEM ref (Mosaic has no
-        dynamic_slice on loaded arrays)."""
         n = seg_ref.shape[1]
 
         def body(i, acc):
-            ax = seg_ref[0, i, 0]
-            ay = seg_ref[0, i, 1]
-            bx = seg_ref[0, i, 2]
-            by = seg_ref[0, i, 3]
-            abx = bx - ax
-            aby = by - ay
-            denom = abx * abx + aby * aby + 1e-9
-            t = jnp.clip(
-                ((pxx - ax) * abx + (pxy - ay) * aby) / denom, 0.0, 1.0
-            )
-            dx = pxx - (ax + t * abx)
-            dy = pxy - (ay + t * aby)
-            return jnp.minimum(acc, dx * dx + dy * dy)
+            return jnp.minimum(acc, seg_d2(seg_ref, i))
 
         return jax.lax.fori_loop(
-            0, n, body, jnp.full((w, w), big, jnp.float32)
+            0, n, body, jnp.full((p, 128), big, jnp.float32)
         )
 
     road_d2 = min_d2_over(road_ref)
@@ -86,30 +96,18 @@ def _kernel(
 
     # lane channel carries the max marking value within reach
     def lane_body(i, acc):
-        ax = lane_ref[0, i, 0]
-        ay = lane_ref[0, i, 1]
-        bx = lane_ref[0, i, 2]
-        by = lane_ref[0, i, 3]
-        abx = bx - ax
-        aby = by - ay
-        denom = abx * abx + aby * aby + 1e-9
-        t = jnp.clip(
-            ((pxx - ax) * abx + (pxy - ay) * aby) / denom, 0.0, 1.0
-        )
-        dx = pxx - (ax + t * abx)
-        dy = pxy - (ay + t * aby)
-        hit = (dx * dx + dy * dy) <= lane_half * lane_half
+        hit = seg_d2(lane_ref, i) <= lane_half * lane_half
         return jnp.maximum(
             acc, jnp.where(hit, laneval_ref[0, 0, i], 0.0)
         )
 
     lane_v = jax.lax.fori_loop(
-        0, lane_ref.shape[1], lane_body, jnp.zeros((w, w), jnp.float32)
+        0, lane_ref.shape[1], lane_body, jnp.zeros((p, 128), jnp.float32)
     )
 
     out_ref[0, 0] = (road_d2 <= half_lane * half_lane).astype(jnp.float32)
     out_ref[0, 1] = (route_d2 <= route_half * route_half).astype(jnp.float32)
-    out_ref[0, 2] = lane_v / 255.0
+    out_ref[0, 2] = lane_v * INV_255
 
 
 def render_bev_pallas_batch(
@@ -135,6 +133,10 @@ def render_bev_pallas_batch(
     route = jax.vmap(
         lambda r, h: bev_xla.route_window_segs(scene, r, h)
     )(flat.route_id, flat.head)
+
+    if (w * w) % 128 != 0:  # flat-pixel layout needs whole lanes
+        return bev_xla.render_bev_batch(scene, cfg, render_state)
+    p128 = (w * w) // 128
 
     mr = road.shape[1]
     ml = lane.shape[1]
@@ -164,10 +166,10 @@ def render_bev_pallas_batch(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 3, w, w), lambda i: (i, 0, 0, 0),
+            (1, 3, p128, 128), lambda i: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, 3, w, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, 3, p128, 128), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=n * w * w * (mr + ml + k) * 12,
             bytes_accessed=n * (3 * w * w * 4 + (mr + ml + k) * 16),
