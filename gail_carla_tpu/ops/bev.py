@@ -115,6 +115,21 @@ def fetch_cell(scene: StaticScene, xy):
     return road, road_flag, lane, lane_val
 
 
+def fetch_cell_counts(scene: StaticScene, xy):
+    """(n_road, n_lane) live segment counts of the ego's cell — dynamic
+    trip counts for the Pallas loops (the tables are padded to the busiest
+    cell; the mean cell is ~25-35% full)."""
+    gy, gx = scene.cell_road.shape[:2]
+    cell = jnp.floor((xy - scene.cell_grid_lo) / scene.cell_size).astype(
+        jnp.int32
+    )
+    cx = jnp.clip(cell[0], 0, gx - 1)
+    cy = jnp.clip(cell[1], 0, gy - 1)
+    nr = jax.lax.dynamic_slice(scene.cell_road_n, (cy, cx), (1, 1))[0, 0]
+    nl = jax.lax.dynamic_slice(scene.cell_lane_n, (cy, cx), (1, 1))[0, 0]
+    return nr, nl
+
+
 def route_window_segs(scene: StaticScene, route_id, head):
     """(K, 4) capsule segments of the route ahead of the cursor."""
     win = jax.lax.dynamic_slice(

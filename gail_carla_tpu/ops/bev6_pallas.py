@@ -28,6 +28,7 @@ from gail_carla_tpu.sim.dynamics import DEFAULT_VEHICLE
 
 
 def _kernel(
+    counts_ref,    # (1, 1, 2) i32 [n_road, n_lane] live segs        SMEM
     pose_ref,      # (1, 1, 4) f32 [x, y, cos, sin]                 VMEM
     road_ref,      # (1, Mr, 4)                                      VMEM
     lane_ref,      # (1, Ml, 4)                                      VMEM
@@ -83,9 +84,8 @@ def _kernel(
         dy = (pxy - ay) - t * aby
         return dx * dx + dy * dy
 
-    def min_d2_over(seg_ref):
-        n = seg_ref.shape[1]
-
+    def min_d2_over(seg_ref, n):
+        # n = live count (dynamic); padded FAR tails never win the min
         def body(i, acc):
             return jnp.minimum(acc, seg_d2(seg_ref, i))
 
@@ -93,15 +93,16 @@ def _kernel(
             0, n, body, jnp.full((p, 128), big, jnp.float32)
         )
 
-    road_d2 = min_d2_over(road_ref)
-    route_d2 = min_d2_over(route_ref)
+    road_d2 = min_d2_over(road_ref, counts_ref[0, 0, 0])
+    route_d2 = min_d2_over(route_ref, route_ref.shape[1])
 
     def lane_body(i, acc):
         hit = seg_d2(lane_ref, i) <= lane_half * lane_half
         return jnp.maximum(acc, jnp.where(hit, laneval_ref[0, 0, i], 0.0))
 
     lane_v = jax.lax.fori_loop(
-        0, lane_ref.shape[1], lane_body, jnp.zeros((p, 128), jnp.float32)
+        0, counts_ref[0, 0, 1], lane_body,
+        jnp.zeros((p, 128), jnp.float32),
     )
 
     # --- signals: valued stop-line capsules ---
@@ -170,6 +171,10 @@ def render_bev6_pallas_batch(
     route = jax.vmap(
         lambda r, h: bev_xla.route_window_segs(scene, r, h)
     )(flat.route_id, flat.head)
+    nr, nl = jax.vmap(
+        lambda xy: bev_xla.fetch_cell_counts(scene, xy)
+    )(flat.xy)
+    counts = jnp.stack([nr, nl], axis=1).astype(jnp.int32)[:, None, :]
 
     # per-line signal values from the phase at each env's sim time
     T = scene.tl_stop.shape[0]
@@ -254,6 +259,8 @@ def render_bev6_pallas_batch(
         kernel,
         grid=(n,),
         in_specs=[
+            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, mr, 4), lambda i: (i, 0, 0),
@@ -283,6 +290,6 @@ def render_bev6_pallas_batch(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(pose, road, lane, lane_val[:, None, :], route, tl_segs,
+    )(counts, pose, road, lane, lane_val[:, None, :], route, tl_segs,
       tl_val[:, None, :], boxes)
     return out.reshape(lead + (6, w, w))

@@ -27,6 +27,7 @@ from gail_carla_tpu.scene.scene import StaticScene
 
 
 def _kernel(
+    counts_ref,     # (1, 1, 2) i32 [n_road, n_lane] live segs        SMEM
     pose_ref,       # (1, 1, 4) f32 [x, y, cos yaw, sin yaw]         VMEM
     road_ref,       # (1, Mr, 4)                                      VMEM
     lane_ref,       # (1, Ml, 4)                                      VMEM
@@ -81,8 +82,10 @@ def _kernel(
         dy = (pxy - ay) - t * aby
         return dx * dx + dy * dy
 
-    def min_d2_over(seg_ref):
-        n = seg_ref.shape[1]
+    def min_d2_over(seg_ref, n):
+        """n is the cell's LIVE count (dynamic trip count) — the padded
+        tail is FAR sentinels whose d2 ~ 1e14 never wins the min, so
+        skipping it is bit-exact."""
 
         def body(i, acc):
             return jnp.minimum(acc, seg_d2(seg_ref, i))
@@ -91,8 +94,8 @@ def _kernel(
             0, n, body, jnp.full((p, 128), big, jnp.float32)
         )
 
-    road_d2 = min_d2_over(road_ref)
-    route_d2 = min_d2_over(route_ref)
+    road_d2 = min_d2_over(road_ref, counts_ref[0, 0, 0])
+    route_d2 = min_d2_over(route_ref, route_ref.shape[1])
 
     # lane channel carries the max marking value within reach
     def lane_body(i, acc):
@@ -102,7 +105,8 @@ def _kernel(
         )
 
     lane_v = jax.lax.fori_loop(
-        0, lane_ref.shape[1], lane_body, jnp.zeros((p, 128), jnp.float32)
+        0, counts_ref[0, 0, 1], lane_body,
+        jnp.zeros((p, 128), jnp.float32),
     )
 
     out_ref[0, 0] = (road_d2 <= half_lane * half_lane).astype(jnp.float32)
@@ -133,6 +137,10 @@ def render_bev_pallas_batch(
     route = jax.vmap(
         lambda r, h: bev_xla.route_window_segs(scene, r, h)
     )(flat.route_id, flat.head)
+    nr, nl = jax.vmap(
+        lambda xy: bev_xla.fetch_cell_counts(scene, xy)
+    )(flat.xy)
+    counts = jnp.stack([nr, nl], axis=1).astype(jnp.int32)[:, None, :]
 
     if (w * w) % 128 != 0:  # flat-pixel layout needs whole lanes
         return bev_xla.render_bev_batch(scene, cfg, render_state)
@@ -154,6 +162,8 @@ def render_bev_pallas_batch(
         kernel,
         grid=(n,),
         in_specs=[
+            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, mr, 4), lambda i: (i, 0, 0),
@@ -176,5 +186,5 @@ def render_bev_pallas_batch(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(pose, road, lane, lane_val[:, None, :], route)
+    )(counts, pose, road, lane, lane_val[:, None, :], route)
     return out.reshape(lead + (3, w, w))

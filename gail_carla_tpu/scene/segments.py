@@ -113,8 +113,10 @@ class CellTable:
     cell_size: float
     road: np.ndarray         # (Gy, Gx, Mr, 4)
     road_flag: np.ndarray    # (Gy, Gx, Mr) 1.0 = junction connector
+    road_n: np.ndarray       # (Gy, Gx) i32 live (non-sentinel) road segs
     lane: np.ndarray         # (Gy, Gx, Ml, 4)
     lane_val: np.ndarray     # (Gy, Gx, Ml)
+    lane_n: np.ndarray       # (Gy, Gx) i32 live lane segs
 
 
 def build_cell_table(
@@ -150,18 +152,23 @@ def build_cell_table(
 
     road = np.full((gy, gx, mr, 4), FAR, np.float32)
     road_flag = np.zeros((gy, gx, mr), np.float32)
+    road_n = np.zeros((gy, gx), np.int32)
     lane = np.full((gy, gx, ml, 4), FAR, np.float32)
     lane_val = np.zeros((gy, gx, ml), np.float32)
+    lane_n = np.zeros((gy, gx), np.int32)
     for cy in range(gy):
         for cx in range(gx):
             ids = road_cells[cy * gx + cx]
             road[cy, cx, : len(ids)] = soup.road_ab[ids]
             road_flag[cy, cx, : len(ids)] = soup.road_junction[ids]
+            road_n[cy, cx] = len(ids)
             ids = lane_cells[cy * gx + cx]
             lane[cy, cx, : len(ids)] = soup.lane_ab[ids]
             lane_val[cy, cx, : len(ids)] = soup.lane_val[ids]
+            lane_n[cy, cx] = len(ids)
 
     return CellTable(
         grid_lo=lo.astype(np.float32), cell_size=float(cell_size),
-        road=road, road_flag=road_flag, lane=lane, lane_val=lane_val,
+        road=road, road_flag=road_flag, road_n=road_n,
+        lane=lane, lane_val=lane_val, lane_n=lane_n,
     )
