@@ -130,6 +130,28 @@ def fetch_cell_counts(scene: StaticScene, xy):
     return nr, nl
 
 
+def fetch_tl_cell(scene: StaticScene, xy):
+    """One env's nearby traffic-light stop lines: (segs (Mt, 4),
+    src_idx (Mt,), n_live) — the bev6 kernel's culled light table
+    (segments.py::build_tl_cells margin rule keeps this bit-exact vs
+    streaming every light)."""
+    gy, gx = scene.cell_tl.shape[:2]
+    cell = jnp.floor((xy - scene.cell_grid_lo) / scene.cell_size).astype(
+        jnp.int32
+    )
+    cx = jnp.clip(cell[0], 0, gx - 1)
+    cy = jnp.clip(cell[1], 0, gy - 1)
+    mt = scene.cell_tl.shape[2]
+    segs = jax.lax.dynamic_slice(
+        scene.cell_tl, (cy, cx, 0, 0), (1, 1, mt, 4)
+    )[0, 0]
+    idx = jax.lax.dynamic_slice(
+        scene.cell_tl_idx, (cy, cx, 0), (1, 1, mt)
+    )[0, 0]
+    n = jax.lax.dynamic_slice(scene.cell_tl_n, (cy, cx), (1, 1))[0, 0]
+    return segs, idx, n
+
+
 def route_window_segs(scene: StaticScene, route_id, head):
     """(K, 4) capsule segments of the route ahead of the cursor."""
     win = jax.lax.dynamic_slice(

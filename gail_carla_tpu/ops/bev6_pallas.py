@@ -28,14 +28,14 @@ from gail_carla_tpu.sim.dynamics import DEFAULT_VEHICLE
 
 
 def _kernel(
-    counts_ref,    # (1, 1, 2) i32 [n_road, n_lane] live segs        SMEM
+    counts_ref,    # (1, 1, 3) i32 [n_road, n_lane, n_tl] live       SMEM
     pose_ref,      # (1, 1, 4) f32 [x, y, cos, sin]                 VMEM
     road_ref,      # (1, Mr, 4)                                      VMEM
     lane_ref,      # (1, Ml, 4)                                      VMEM
     laneval_ref,   # (1, 1, Ml)                                      SMEM
     route_ref,     # (1, K, 4)                                       VMEM
-    tl_ref,        # (1, T, 4) stop-line segs                        VMEM
-    tlval_ref,     # (1, 1, T) per-line value (0 = not drawn)        SMEM
+    tl_ref,        # (1, Mt, 4) culled stop-line segs                VMEM
+    tlval_ref,     # (1, 1, Mt) per-line value (0 = not drawn)       SMEM
     box_ref,       # (1, B, 8) x, y, cos, sin, hl, hw, ch, pad       VMEM
     out_ref,       # (1, 6, W, W)                                    VMEM
     *,
@@ -111,7 +111,8 @@ def _kernel(
         return jnp.maximum(acc, jnp.where(hit, tlval_ref[0, 0, i], 0.0))
 
     sig = jax.lax.fori_loop(
-        0, tl_ref.shape[1], tl_body, jnp.zeros((p, 128), jnp.float32)
+        0, counts_ref[0, 0, 2], tl_body,
+        jnp.zeros((p, 128), jnp.float32),
     )
 
     # --- boxes: OBBs carrying a channel selector (0=sig, 1=veh, 2=walker)
@@ -174,22 +175,30 @@ def render_bev6_pallas_batch(
     nr, nl = jax.vmap(
         lambda xy: bev_xla.fetch_cell_counts(scene, xy)
     )(flat.xy)
-    counts = jnp.stack([nr, nl], axis=1).astype(jnp.int32)[:, None, :]
 
-    # per-line signal values from the phase at each env's sim time
+    # per-line signal values from the phase at each env's sim time, on the
+    # CULLED per-cell light table (segments.py::build_tl_cells) — the
+    # kernel streams only the lights this cell can see
     T = scene.tl_stop.shape[0]
     sim_time = flat.step.astype(jnp.float32) * cfg.dt
     states = jax.vmap(lambda t: signals.light_states(scene, t))(sim_time)
-    tl_val = jnp.where(
+    tl_val_all = jnp.where(
         states == signals.GREEN, 80.0,
         jnp.where(states == signals.YELLOW, 170.0, 255.0),
     )
-    tl_val = jnp.where(
-        (jnp.arange(T) < scene.tl_n)[None, :], tl_val, 0.0
+    tl_val_all = jnp.where(
+        (jnp.arange(T) < scene.tl_n)[None, :], tl_val_all, 0.0
     )
-    tl_segs = jnp.broadcast_to(
-        scene.tl_stop.reshape(1, T, 4), (n, T, 4)
+    tl_segs, tl_idx, nt = jax.vmap(
+        lambda xy: bev_xla.fetch_tl_cell(scene, xy)
+    )(flat.xy)
+    # gather-free per-env value pick: one-hot (Mt, T) @ values (T,)
+    tl_val = jnp.einsum(
+        "nmt,nt->nm",
+        jax.nn.one_hot(tl_idx, T, dtype=tl_val_all.dtype),
+        tl_val_all,
     )
+    counts = jnp.stack([nr, nl, nt], axis=1).astype(jnp.int32)[:, None, :]
 
     # box table: active stop sign (channel 0) + vehicles (1) + walkers (2)
     S = scene.ss_center.shape[0]
@@ -249,6 +258,7 @@ def render_bev6_pallas_batch(
     mr = road.shape[1]
     ml = lane.shape[1]
     k = route.shape[1]
+    mt = tl_segs.shape[1]
     kernel = functools.partial(
         _kernel, w=w, ppm=cfg.pixels_per_meter,
         ptb=cfg.pixels_ev_to_bottom, half_lane=scene.half_lane,
@@ -259,7 +269,7 @@ def render_bev6_pallas_batch(
         kernel,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, 3), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -271,9 +281,9 @@ def render_bev6_pallas_batch(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, k, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, 4), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, mt, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, mt), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nb, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -284,9 +294,9 @@ def render_bev6_pallas_batch(
         ),
         out_shape=jax.ShapeDtypeStruct((n, 6, p128, 128), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=n * w * w * (mr + ml + k + T + nb) * 12,
+            flops=n * w * w * (mr + ml + k + mt + nb) * 12,
             bytes_accessed=n * (6 * w * w * 4
-                                + (mr + ml + k + T + nb) * 32),
+                                + (mr + ml + k + mt + nb) * 32),
             transcendentals=0,
         ),
         interpret=interpret,

@@ -96,6 +96,12 @@ class StaticScene:
     cell_road_n: jnp.ndarray = None   # (Gy, Gx) i32
     cell_lane_n: jnp.ndarray = None   # (Gy, Gx) i32
 
+    # --- per-cell traffic-light stop lines (bev6 kernel cull; see
+    #     segments.py::build_tl_cells) ---
+    cell_tl: jnp.ndarray = None       # (Gy, Gx, Mt, 4) f32
+    cell_tl_idx: jnp.ndarray = None   # (Gy, Gx, Mt) i32 source light id
+    cell_tl_n: jnp.ndarray = None     # (Gy, Gx) i32
+
     # --- scenario actors: per-task scripted vehicles with their own routes
     #     (ScenarioActorHandler, scenario_actor_handler.py:6-50; the
     #     actors.json counterpart). Their polylines live in the patrol
@@ -277,6 +283,11 @@ def build_scene(
         ss_yaw[i] = s.yaw
         ss_extent[i] = s.extent
 
+    gy_, gx_ = table.road.shape[:2]
+    cell_tl, cell_tl_idx, cell_tl_n = seg_mod.build_tl_cells(
+        tl_stop, table.grid_lo, gy_, gx_, table.cell_size
+    )
+
     spawn = graph.spawn_points().astype(np.float32)
     if len(spawn) == 0:
         spawn = np.zeros((1, 3), np.float32)
@@ -321,6 +332,9 @@ def build_scene(
         cell_road=jnp.asarray(table.road),
         cell_road_flag=jnp.asarray(table.road_flag),
         cell_road_n=jnp.asarray(table.road_n),
+        cell_tl=jnp.asarray(cell_tl),
+        cell_tl_idx=jnp.asarray(cell_tl_idx),
+        cell_tl_n=jnp.asarray(cell_tl_n),
         cell_lane=jnp.asarray(table.lane),
         cell_lane_val=jnp.asarray(table.lane_val),
         cell_lane_n=jnp.asarray(table.lane_n),

@@ -172,3 +172,38 @@ def build_cell_table(
         road=road, road_flag=road_flag, road_n=road_n,
         lane=lane, lane_val=lane_val, lane_n=lane_n,
     )
+
+
+def build_tl_cells(tl_stop, grid_lo, gy: int, gx: int,
+                   cell_size: float, margin: float = 42.0,
+                   pad_mult: int = 4):
+    """Per-cell traffic-light stop-line tables for the bev6 kernel.
+
+    Same margin rule as build_cell_table (any light a cell's ego could see
+    is in the cell's table), so culling the per-env light loop to this
+    table is bit-exact vs streaming every light in the town.
+
+    Returns (cell_tl (Gy,Gx,Mt,4) f32, cell_tl_idx (Gy,Gx,Mt) i32 source
+    light index for phase lookup, cell_tl_n (Gy,Gx) i32 live counts).
+    """
+    T = tl_stop.shape[0]
+    ab = tl_stop.reshape(T, 4).astype(np.float32)
+    per_cell = [[] for _ in range(gy * gx)]
+    for cy in range(gy):
+        for cx in range(gx):
+            c_lo = grid_lo + np.array([cx, cy]) * cell_size
+            c_hi = c_lo + cell_size
+            d = _seg_rect_dist(ab, c_lo - margin, c_hi + margin)
+            per_cell[cy * gx + cx] = list(np.nonzero(d <= 1e-6)[0])
+    mt = max(max(len(c) for c in per_cell), 1)
+    mt = ((mt + pad_mult - 1) // pad_mult) * pad_mult
+    cell_tl = np.full((gy, gx, mt, 4), FAR, np.float32)
+    cell_tl_idx = np.zeros((gy, gx, mt), np.int32)
+    cell_tl_n = np.zeros((gy, gx), np.int32)
+    for cy in range(gy):
+        for cx in range(gx):
+            ids = per_cell[cy * gx + cx]
+            cell_tl[cy, cx, : len(ids)] = ab[ids]
+            cell_tl_idx[cy, cx, : len(ids)] = ids
+            cell_tl_n[cy, cx] = len(ids)
+    return cell_tl, cell_tl_idx, cell_tl_n
