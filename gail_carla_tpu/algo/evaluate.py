@@ -44,8 +44,12 @@ def evaluate_policy(
     Pass either a scalar ``route_id`` (all envs on that route — the
     reference's held-out-route eval) or a ``route_ids`` array (one env per
     route — the leaderboard-table eval)."""
+    # eval always scores under LEADERBOARD termination so driving scores
+    # stay comparable across training terminal modes (a dagger-terminated
+    # eval would truncate score_route at the first red light)
     eval_cfg = env_cfg.__class__(
-        **{**env_cfg.__dict__, "train": False}
+        **{**env_cfg.__dict__, "train": False,
+           "terminal_mode": "leaderboard"}
     )
     if route_ids is None:
         route_ids = jnp.full((n_envs,), route_id, jnp.int32)

@@ -81,7 +81,7 @@ def make_presets():
 def run(env_cfg, model_cfg, tcfg, scene_kwargs, demo_steps,
         max_updates=None, log_dir="runs/wdgail", ckpt_dir=None,
         use_sharding=None, profile=False, demo_obey_signals=False,
-        eval_all_routes=False, ckpt_keep=2):
+        eval_all_routes=False, ckpt_keep=2, init_params=None):
     scene = make_scene(scene_kwargs)
     writer = MetricsWriter(log_dir)
 
@@ -90,7 +90,11 @@ def run(env_cfg, model_cfg, tcfg, scene_kwargs, demo_steps,
     # expert gen runs with a longer episode cap than training
     # (carla_exp.py:25 uses env_ep_length=6000 vs the training 2400)
     demo_cfg = dataclasses.replace(
-        env_cfg, train=False, max_time=max(env_cfg.max_time, 600.0)
+        env_cfg, train=False, max_time=max(env_cfg.max_time, 600.0),
+        # demos always run under leaderboard termination — a dagger
+        # training terminal (ends on red/stop) would cut expert episodes
+        # before route completion and leave no valid demos
+        terminal_mode="leaderboard",
     )
     demos = generate_demos(
         scene, demo_cfg, jax.random.PRNGKey(1337), routes, demo_steps,
@@ -125,6 +129,15 @@ def run(env_cfg, model_cfg, tcfg, scene_kwargs, demo_steps,
             scene, env_cfg, model_cfg, tcfg, expert, expert_val
         )
     state = learner.init_state()
+    if init_params:
+        # warm start the POLICY only from a params-only checkpoint
+        # (ckpt_dir/best_params shape); discriminator, optimizers and env
+        # states start fresh
+        restored, _ = ckpt_mod.restore_checkpoint(
+            init_params, {"params": state.policy_params}
+        )
+        state = state.replace(policy_params=restored["params"])
+        print(f"warm-started policy from {init_params}", file=sys.stderr)
 
     elapsed0 = 0.0
     if ckpt_dir and tcfg.resume_training:
@@ -237,6 +250,15 @@ def main(argv=None):
     p.add_argument("--eval-all-routes", action="store_true",
                    help="run a leaderboard-table eval over every route "
                         "each eval_interval and keep the best checkpoint")
+    p.add_argument("--terminal-mode", default=None,
+                   choices=["leaderboard", "valeo", "valeo_nodetpx",
+                            "leaderboard_dagger"],
+                   help="override the preset's terminal handler (e.g. "
+                        "leaderboard_dagger ends episodes on red lights, "
+                        "terminal/leaderboard_dagger.py:24-37)")
+    p.add_argument("--init-params", default=None,
+                   help="warm-start the policy from a params-only "
+                        "checkpoint (e.g. <ckpt-dir>/best_params)")
     args = p.parse_args(argv)
 
     preset = make_presets()[args.preset]
@@ -246,12 +268,17 @@ def main(argv=None):
     env_cfg = preset["env"]
     if args.obs_mode:
         env_cfg = dataclasses.replace(env_cfg, obs_mode=args.obs_mode)
+    if args.terminal_mode:
+        env_cfg = dataclasses.replace(
+            env_cfg, terminal_mode=args.terminal_mode
+        )
     run(
         env_cfg, preset["model"], tcfg, preset["scene"],
         preset["demo_steps"], max_updates=args.max_updates,
         log_dir=args.log_dir, ckpt_dir=args.ckpt_dir,
         profile=args.profile, demo_obey_signals=args.compliant_demos,
         eval_all_routes=args.eval_all_routes,
+        init_params=args.init_params,
     )
 
 
