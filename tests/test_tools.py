@@ -171,6 +171,27 @@ def test_pallas_bev_kernel_matches_xla_interpret(scene):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_pallas_renderer_fallback_odd_width(scene):
+    """Widths whose pixel count doesn't tile (8,128) exactly fall back to
+    the XLA renderer instead of the flat-layout kernel."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    from gail_carla_tpu.ops.bev import render_bev_batch
+    from gail_carla_tpu.ops.bev_pallas import render_bev_pallas_batch
+    from gail_carla_tpu.sim.env import reset_batch
+
+    cfg = dc.replace(EnvConfig(train=False), bev_width=100)  # 10000 % 128
+    _, _, render = reset_batch(scene, cfg, jax.random.PRNGKey(4),
+                               jnp.arange(2, dtype=jnp.int32))
+    a = np.asarray(render_bev_batch(scene, cfg, render))
+    b = np.asarray(render_bev_pallas_batch(scene, cfg, render,
+                                           interpret=True))
+    assert a.shape == (2, 3, 100, 100)
+    np.testing.assert_array_equal(a, b)
+
+
 @pytest.mark.slow
 def test_train_from_exported_files(scene, tmp_path):
     """Full interop loop: export PNG demos (reference format) -> load them
