@@ -202,7 +202,7 @@ class WDGAILLearner:
 
             gail_rewards = wdgail_mod.relabel_rewards(
                 scene, env_cfg, self.disc_net, disc_params, rollout
-            )
+            ) + tcfg.gail_reward_shift   # survival bias (config.py)
             rollout = rollout.replace(gail_rewards=gail_rewards)
 
             returns = compute_returns(

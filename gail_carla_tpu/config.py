@@ -122,6 +122,13 @@ class TrainConfig:
     bcgail: bool = True
     gail_gamma: float = 0.0            # params_variable.json "gailgamma"
     decay: float = 1.0
+    # Constant added to the relabeled GAIL reward. The raw WDGAIL critic
+    # reward is negative for policy samples (~-1.6/step early on), so any
+    # terminal that ends episodes on infractions (leaderboard_dagger)
+    # REWARDS the infraction: dying early cuts the negative return. A
+    # positive shift restores the survival bias (AIRL's termination-bias
+    # observation); 0.0 = the reference's raw reward.
+    gail_reward_shift: float = 0.0
     # bookkeeping
     eval_interval: int = 3
     log_interval: int = 1

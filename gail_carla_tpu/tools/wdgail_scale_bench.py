@@ -24,6 +24,81 @@ import sys
 import time
 
 
+def _time_phases(learner, state, num_steps, n_reps: int = 3):
+    """Per-phase wall times with separate jits (expert buffers passed as
+    args per the repo convention — closure constants blow the remote
+    compiler's request limit)."""
+    import jax
+    import jax.numpy as jnp
+
+    import gail_carla_tpu.algo.ppo as ppo_mod
+    import gail_carla_tpu.algo.wdgail as wdgail_mod
+    from gail_carla_tpu.algo.rollout import collect_rollout
+    from gail_carla_tpu.ops.gae import compute_returns
+
+    scene, env_cfg, tcfg = learner.scene, learner.env_cfg, learner.tcfg
+    rng = jax.random.PRNGKey(123)
+    k_roll, k_disc, k_ppo, k_val = jax.random.split(rng, 4)
+
+    def timeit(name, f, *a):
+        import time as _t
+
+        out = jax.block_until_ready(f(*a))
+        best = float("inf")
+        for _ in range(n_reps):
+            t0 = _t.perf_counter()
+            out = jax.block_until_ready(f(*a))
+            best = min(best, _t.perf_counter() - t0)
+        print(f"phase {name}: {best*1e3:,.0f} ms", file=sys.stderr)
+        return out, best
+
+    f_roll = jax.jit(lambda pp, es, m, r, k: collect_rollout(
+        scene, env_cfg, learner.policy_net, pp, es, m, r, k,
+        tcfg.steps_per_env, learner.store_obs,
+    ))
+    (env_states, metrics, render, rollout, ep_stats), t_roll = timeit(
+        "rollout", f_roll, state.policy_params, state.env_states,
+        state.metrics, state.render, k_roll,
+    )
+
+    f_disc = jax.jit(lambda dp, do, ro, ex, k: wdgail_mod.disc_update(
+        scene, env_cfg, tcfg, learner.disc_net, dp, learner.disc_optimizer,
+        do, ro, ex, k, jnp.asarray(1, jnp.int32), axis_name=None,
+    ))
+    (disc_params, _, _), t_disc = timeit(
+        "disc epoch", f_disc, state.disc_params, state.disc_opt, rollout,
+        learner.expert, k_disc,
+    )
+
+    f_rel = jax.jit(lambda dp, ro: wdgail_mod.relabel_rewards(
+        scene, env_cfg, learner.disc_net, dp, ro
+    ))
+    gail_rewards, t_rel = timeit("relabel", f_rel, disc_params, rollout)
+    rollout = rollout.replace(gail_rewards=gail_rewards)
+
+    f_gae = jax.jit(lambda ro: compute_returns(
+        ro.gail_rewards, ro.env_rewards, ro.values, ro.masks,
+        tcfg.gamma, tcfg.gae_lambda,
+    ))
+    returns, t_gae = timeit("gae", f_gae, rollout)
+
+    f_ppo = jax.jit(lambda pp, po, ro, rets, k, gg: ppo_mod.ppo_update(
+        scene, env_cfg, tcfg, learner.policy_net, pp,
+        learner.policy_optimizer, po, ro, rets, k, gg, None,
+        axis_name=None,
+    ))
+    _, t_ppo = timeit(
+        "ppo", f_ppo, state.policy_params, state.policy_opt, rollout,
+        returns, k_ppo, state.gail_gamma,
+    )
+    total = t_roll + t_disc + t_rel + t_gae + t_ppo
+    print(
+        f"phase total {total:.2f}s  rollout {t_roll/total:.0%} "
+        f"disc {t_disc/total:.0%} ppo {t_ppo/total:.0%}",
+        file=sys.stderr,
+    )
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--n-envs", type=int, default=4096)
@@ -37,6 +112,10 @@ def main(argv=None):
     p.add_argument("--gail-batch", type=int, default=4096)
     p.add_argument("--updates", type=int, default=3)
     p.add_argument("--town", default=None)
+    p.add_argument("--demo-steps", type=int, default=2400)
+    p.add_argument("--phases", action="store_true",
+                   help="additionally time each pipeline phase with its "
+                        "own jit (rollout / disc / relabel / GAE / PPO)")
     args = p.parse_args(argv)
 
     import jax
@@ -63,7 +142,8 @@ def main(argv=None):
     demo_cfg = dataclasses.replace(env_cfg, train=False, max_time=600.0)
     demos = generate_demos(
         scene, demo_cfg, jax.random.PRNGKey(0),
-        jnp.asarray(tcfg.routes, jnp.int32), 2400, obey_signals=True,
+        jnp.asarray(tcfg.routes, jnp.int32), args.demo_steps,
+        obey_signals=True,
     )
     expert = build_expert_buffer(scene, env_cfg, demos, max_size=12288)
     print(f"expert buffer: {expert.size}", file=sys.stderr)
@@ -88,6 +168,9 @@ def main(argv=None):
         best = min(best, dt)
         print(f"update: {dt:.2f}s  ({num_steps / dt:,.0f} steps/s)",
               file=sys.stderr)
+
+    if args.phases:
+        _time_phases(learner, state, num_steps)
 
     steps_per_sec = num_steps / best
     hours_to_10m = 1e7 / steps_per_sec / 3600.0

@@ -259,12 +259,20 @@ def main(argv=None):
     p.add_argument("--init-params", default=None,
                    help="warm-start the policy from a params-only "
                         "checkpoint (e.g. <ckpt-dir>/best_params)")
+    p.add_argument("--gail-reward-shift", type=float, default=None,
+                   help="constant added to the GAIL reward (survival "
+                        "bias; needed with infraction-terminating "
+                        "terminal modes — see TrainConfig)")
     args = p.parse_args(argv)
 
     preset = make_presets()[args.preset]
     tcfg = preset["train"]
     if args.params:
         tcfg = TrainConfig.from_json(args.params)
+    if args.gail_reward_shift is not None:
+        tcfg = dataclasses.replace(
+            tcfg, gail_reward_shift=args.gail_reward_shift
+        )
     env_cfg = preset["env"]
     if args.obs_mode:
         env_cfg = dataclasses.replace(env_cfg, obs_mode=args.obs_mode)
