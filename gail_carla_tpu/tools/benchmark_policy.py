@@ -90,22 +90,36 @@ def benchmark(ckpt_dir=None, episodes_per_route: int = 1,
         )
         return latched
 
-    out = {k: np.asarray(v) for k, v in run(jax.random.PRNGKey(1)).items()}
+    # episodes_per_route: driving-score evals are noisy (traffic spawns and
+    # GNSS noise come from the reset rng); average over seeds for a stable
+    # headline number
+    outs = [
+        {k: np.asarray(v) for k, v in run(jax.random.PRNGKey(1 + e)).items()}
+        for e in range(episodes_per_route)
+    ]
     rows = []
     for r in range(R):
+        ds = [float(o["score_composed"][r]) for o in outs]
         rows.append({
             "route": r,
-            "driving_score": round(float(out["score_composed"][r]), 1),
-            "route_score": round(float(out["score_route"][r]), 1),
-            "penalty": round(float(out["score_penalty"][r]), 1),
-            "reward": round(float(out["episode_reward"][r]), 3),
-            "steps": int(out["episode_length"][r]),
-            "completed": bool(out["route_completed"][r]),
-            "collision": bool(out["collision"][r]),
+            "driving_score": round(float(np.mean(ds)), 1),
+            "driving_score_std": round(float(np.std(ds)), 1),
+            "route_score": round(
+                float(np.mean([o["score_route"][r] for o in outs])), 1),
+            "penalty": round(
+                float(np.mean([o["score_penalty"][r] for o in outs])), 1),
+            "reward": round(
+                float(np.mean([o["episode_reward"][r] for o in outs])), 3),
+            "steps": int(np.mean([o["episode_length"][r] for o in outs])),
+            "completed_rate": round(
+                float(np.mean([o["route_completed"][r] for o in outs])), 2),
+            "collision_rate": round(
+                float(np.mean([o["collision"][r] for o in outs])), 2),
         })
         print(rows[-1], file=sys.stderr)
     mean_ds = float(np.mean([r["driving_score"] for r in rows]))
     print(json.dumps({"mean_driving_score": round(mean_ds, 2),
+                      "episodes_per_route": episodes_per_route,
                       "routes": rows}))
     return rows
 
@@ -118,9 +132,13 @@ def main(argv=None):
                         "(e.g. Town01) instead of the procedural grid")
     p.add_argument("--obs-mode", default="bev",
                    choices=["bev", "bev6", "state"])
+    p.add_argument("--episodes", type=int, default=1,
+                   help="episodes per route (different env seeds), "
+                        "averaged")
     args = p.parse_args(argv)
     scene_kwargs = {"town": args.town} if args.town else None
-    benchmark(args.ckpt, scene_kwargs=scene_kwargs, obs_mode=args.obs_mode)
+    benchmark(args.ckpt, episodes_per_route=args.episodes,
+              scene_kwargs=scene_kwargs, obs_mode=args.obs_mode)
 
 
 if __name__ == "__main__":
