@@ -130,6 +130,10 @@ def main(argv=None):
     p.add_argument("--town", default=None,
                    help="benchmark on a reconstructed reference town "
                         "(e.g. Town01) instead of the procedural grid")
+    p.add_argument("--route-file", default=None,
+                   help="route pack for --town (routes_training.xml "
+                        "default; Town02/05 only exist in "
+                        "routes_testing.xml)")
     p.add_argument("--obs-mode", default="bev",
                    choices=["bev", "bev6", "state"])
     p.add_argument("--episodes", type=int, default=1,
@@ -137,6 +141,8 @@ def main(argv=None):
                         "averaged")
     args = p.parse_args(argv)
     scene_kwargs = {"town": args.town} if args.town else None
+    if scene_kwargs and args.route_file:
+        scene_kwargs["route_file"] = args.route_file
     benchmark(args.ckpt, episodes_per_route=args.episodes,
               scene_kwargs=scene_kwargs, obs_mode=args.obs_mode)
 
