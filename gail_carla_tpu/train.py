@@ -263,6 +263,10 @@ def main(argv=None):
                    help="constant added to the GAIL reward (survival "
                         "bias; needed with infraction-terminating "
                         "terminal modes — see TrainConfig)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume FULL training state (policy, disc, "
+                        "optimizers, env states, update counter) from "
+                        "the newest update_* checkpoint in --ckpt-dir")
     args = p.parse_args(argv)
 
     preset = make_presets()[args.preset]
@@ -273,6 +277,8 @@ def main(argv=None):
         tcfg = dataclasses.replace(
             tcfg, gail_reward_shift=args.gail_reward_shift
         )
+    if args.resume:
+        tcfg = dataclasses.replace(tcfg, resume_training=True)
     env_cfg = preset["env"]
     if args.obs_mode:
         env_cfg = dataclasses.replace(env_cfg, obs_mode=args.obs_mode)
