@@ -32,7 +32,9 @@ from gail_carla_tpu.scene.scene import StaticScene
 ROUTE_WINDOW = 84       # dense points sliced at the cursor (>= 80 drawn)
 ROUTE_STRIDE = 4        # subsample for capsule segments (20 segs over 80 m)
 ROUTE_HALF_W = 1.6      # m; 16 px stroke at 5 px/m (chauffeurnet.py:152)
-LANE_HALF_W = 0.25      # m; ~2 px marking stroke
+# (lane-marking half width is per-segment since round 3 — see
+# StaticScene.cell_lane_w; graph-derived towns use
+# segments.LANE_HALF_W_DEFAULT)
 # mask values normalise by multiplying with the rounded f32 reciprocal —
 # Mosaic lowers /255.0 as a reciprocal multiply, so using the explicit
 # multiply on the XLA side keeps kernel and reference outputs bit-identical
@@ -88,16 +90,58 @@ def capsule_min_dist2(px, seg_ab):
     return jnp.min(capsule_dist2_all(px, seg_ab), axis=1)
 
 
-def fetch_cell(scene: StaticScene, xy):
-    """One env's (road_segs (Mr,4), road_flag (Mr,), lane_segs (Ml,4),
-    lane_val (Ml,)) via contiguous dynamic_slice — the gather-free spatial
-    hash lookup."""
+def boundary_dist_cross(px, bnd_segs):
+    """(P, S) squared distance AND cross sign vs oriented boundary edges,
+    op-ordered like the Pallas kernels' ``bnd_body`` for bit-identity.
+    cross(b-a, p-closest) > 0 means p is on the edge's interior side."""
+    a = bnd_segs[None, :, :2]
+    b = bnd_segs[None, :, 2:]
+    ab = b - a
+    inv_denom = 1.0 / (jnp.sum(ab * ab, -1) + 1e-9)
+    aab = jnp.sum(a * ab, -1)
+    t = jnp.clip(
+        (jnp.sum(px[:, None, :] * ab, -1) - aab) * inv_denom, 0.0, 1.0
+    )
+    d = (px[:, None, :] - a) - t[..., None] * ab
+    d2 = jnp.sum(d * d, -1)
+    cr = ab[..., 0] * d[..., 1] - ab[..., 1] * d[..., 0]
+    return d2, cr
+
+
+def boundary_inside(px, bnd_segs, dmax):
+    """(P,) bool: pixel inside the oriented-contour region.
+
+    Test: the NEAREST boundary edge's cross sign (interior = positive),
+    guarded by ``d2 <= dmax^2``. Correctness with cell-local tables
+    (segments.py::build_bnd_cells margin = pixel_reach + dmax): any pixel
+    within dmax of its true nearest edge finds that edge in the table, and
+    any pixel farther than dmax from every edge is provably outside (dmax
+    is the mask's deepest interior point), which the guard enforces. Tie
+    resolution = first occurrence, matching the kernels' sequential
+    strict-< min."""
+    d2, cr = boundary_dist_cross(px, bnd_segs)
+    d2min = jnp.min(d2, axis=1)
+    m = d2 == d2min[:, None]
+    first = m & (jnp.cumsum(m.astype(jnp.int32), axis=1) == 1)
+    cr_sel = jnp.sum(jnp.where(first, cr, 0.0), axis=1)
+    return (cr_sel > 0.0) & (d2min <= dmax * dmax)
+
+
+def _cell_of(scene: StaticScene, xy):
     gy, gx = scene.cell_road.shape[:2]
     cell = jnp.floor((xy - scene.cell_grid_lo) / scene.cell_size).astype(
         jnp.int32
     )
     cx = jnp.clip(cell[0], 0, gx - 1)
     cy = jnp.clip(cell[1], 0, gy - 1)
+    return cy, cx
+
+
+def fetch_cell(scene: StaticScene, xy):
+    """One env's (road_segs (Mr,4), road_flag (Mr,), lane_segs (Ml,4),
+    lane_val (Ml,), lane_w (Ml,)) via contiguous dynamic_slice — the
+    gather-free spatial hash lookup."""
+    cy, cx = _cell_of(scene, xy)
     mr = scene.cell_road.shape[2]
     ml = scene.cell_lane.shape[2]
     road = jax.lax.dynamic_slice(
@@ -112,22 +156,31 @@ def fetch_cell(scene: StaticScene, xy):
     lane_val = jax.lax.dynamic_slice(
         scene.cell_lane_val, (cy, cx, 0), (1, 1, ml)
     )[0, 0]
-    return road, road_flag, lane, lane_val
+    lane_w = jax.lax.dynamic_slice(
+        scene.cell_lane_w, (cy, cx, 0), (1, 1, ml)
+    )[0, 0]
+    return road, road_flag, lane, lane_val, lane_w
+
+
+def fetch_bnd_cell(scene: StaticScene, xy):
+    """One env's oriented road-boundary edges: (segs (Mb, 4), n_live)."""
+    cy, cx = _cell_of(scene, xy)
+    mb = scene.cell_bnd.shape[2]
+    segs = jax.lax.dynamic_slice(
+        scene.cell_bnd, (cy, cx, 0, 0), (1, 1, mb, 4)
+    )[0, 0]
+    n = jax.lax.dynamic_slice(scene.cell_bnd_n, (cy, cx), (1, 1))[0, 0]
+    return segs, n
 
 
 def fetch_cell_counts(scene: StaticScene, xy):
-    """(n_road, n_lane) live segment counts of the ego's cell — dynamic
+    """(n_bnd, n_lane) live segment counts of the ego's cell — dynamic
     trip counts for the Pallas loops (the tables are padded to the busiest
     cell; the mean cell is ~25-35% full)."""
-    gy, gx = scene.cell_road.shape[:2]
-    cell = jnp.floor((xy - scene.cell_grid_lo) / scene.cell_size).astype(
-        jnp.int32
-    )
-    cx = jnp.clip(cell[0], 0, gx - 1)
-    cy = jnp.clip(cell[1], 0, gy - 1)
-    nr = jax.lax.dynamic_slice(scene.cell_road_n, (cy, cx), (1, 1))[0, 0]
+    cy, cx = _cell_of(scene, xy)
+    nb = jax.lax.dynamic_slice(scene.cell_bnd_n, (cy, cx), (1, 1))[0, 0]
     nl = jax.lax.dynamic_slice(scene.cell_lane_n, (cy, cx), (1, 1))[0, 0]
-    return nr, nl
+    return nb, nl
 
 
 def fetch_tl_cell(scene: StaticScene, xy):
@@ -173,14 +226,19 @@ def render_bev(
 ) -> jnp.ndarray:
     """(3, W, W) float32 in [0, 1]: channels (road, route, lane) — the
     policy observation (mask 0 of the reference, loaded from PNG as RGB and
-    ToTensor'd in carla_env.py:102-138 / wdgail.py:221-236)."""
+    ToTensor'd in carla_env.py:102-138 / wdgail.py:136-241). The road
+    channel is the exact town road mask via the oriented-boundary sign
+    test (chauffeurnet.py:142-143 warps the H5 ``road`` texture; here the
+    same mask is reproduced analytically — scene/mask_geo.py)."""
     w = cfg.bev_width
     px = pixel_world_coords(cfg, xy, yaw)
-    road_segs, _, lane_segs, lane_val = fetch_cell(scene, xy)
+    _, _, lane_segs, lane_val, lane_w = fetch_cell(scene, xy)
+    bnd_segs, _ = fetch_bnd_cell(scene, xy)
     route_segs = route_window_segs(scene, route_id, head)
 
-    road_d2 = capsule_min_dist2(px, road_segs)
-    road_ch = (road_d2 <= scene.half_lane**2).astype(jnp.float32)
+    road_ch = boundary_inside(px, bnd_segs, scene.bnd_dmax).astype(
+        jnp.float32
+    )
 
     route_d2 = capsule_min_dist2(px, route_segs)
     route_ch = (route_d2 <= ROUTE_HALF_W**2).astype(jnp.float32)
@@ -188,7 +246,7 @@ def render_bev(
     # lane channel keeps per-segment values: a pixel takes the max value of
     # any marking covering it (solid 255 beats broken 120)
     d2 = capsule_dist2_all(px, lane_segs)
-    hit = d2 <= LANE_HALF_W**2
+    hit = d2 <= lane_w[None, :] ** 2
     lane_ch = jnp.max(
         jnp.where(hit, lane_val[None, :], 0.0), axis=1
     ) * INV_255

@@ -18,8 +18,8 @@ import jax.numpy as jnp
 
 from gail_carla_tpu.config import EnvConfig
 from gail_carla_tpu.ops.bev import (
-    capsule_min_dist2, fetch_cell, pixel_world_coords, route_window_segs,
-    ROUTE_HALF_W, LANE_HALF_W,
+    boundary_inside, capsule_min_dist2, fetch_bnd_cell, fetch_cell,
+    pixel_world_coords, route_window_segs, ROUTE_HALF_W,
 )
 from gail_carla_tpu.scene.scene import StaticScene
 from gail_carla_tpu.sim.dynamics import VehicleParams, DEFAULT_VEHICLE
@@ -92,15 +92,17 @@ def render_bev_full(
     overlapping the latest walker mask."""
     w = cfg.bev_width
     px = pixel_world_coords(cfg, xy, yaw)
-    road_segs, _, lane_segs, lane_val = fetch_cell(scene, xy)
+    _, _, lane_segs, lane_val, lane_w = fetch_cell(scene, xy)
+    bnd_segs, _ = fetch_bnd_cell(scene, xy)
     route_segs = route_window_segs(scene, route_id, head)
 
-    road = capsule_min_dist2(px, road_segs) <= scene.half_lane**2
+    road = boundary_inside(px, bnd_segs, scene.bnd_dmax)
     route = capsule_min_dist2(px, route_segs) <= ROUTE_HALF_W**2
 
     d2 = capsule_min_dist2_per_seg(px, lane_segs)
     lane_u8 = jnp.max(
-        jnp.where(d2 <= LANE_HALF_W**2, lane_val[None, :], 0.0), axis=1
+        jnp.where(d2 <= lane_w[None, :] ** 2, lane_val[None, :], 0.0),
+        axis=1,
     ).astype(jnp.uint8)
 
     K = hist.veh_pose.shape[1]

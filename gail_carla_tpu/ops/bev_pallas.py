@@ -27,20 +27,20 @@ from gail_carla_tpu.scene.scene import StaticScene
 
 
 def _kernel(
-    counts_ref,     # (1, 1, 2) i32 [n_road, n_lane] live segs        SMEM
+    counts_ref,     # (1, 1, 2) i32 [n_bnd, n_lane] live segs         SMEM
     pose_ref,       # (1, 1, 4) f32 [x, y, cos yaw, sin yaw]         VMEM
-    road_ref,       # (1, Mr, 4)                                      VMEM
+    bnd_ref,        # (1, Mb, 4) oriented boundary edges              VMEM
     lane_ref,       # (1, Ml, 4)                                      VMEM
     laneval_ref,    # (1, 1, Ml)                                      SMEM
+    lanew_ref,      # (1, 1, Ml) per-segment half width               SMEM
     route_ref,      # (1, K, 4)                                       VMEM
     out_ref,        # (1, 3, P, 128) flat-pixel layout                VMEM
     *,
     w: int,
     ppm: float,
     ptb: int,
-    half_lane: float,
+    dmax: float,
     route_half: float,
-    lane_half: float,
 ):
     x = pose_ref[0, 0, 0]
     y = pose_ref[0, 0, 1]
@@ -94,12 +94,43 @@ def _kernel(
             0, n, body, jnp.full((p, 128), big, jnp.float32)
         )
 
-    road_d2 = min_d2_over(road_ref, counts_ref[0, 0, 0])
+    def seg_d2_cross(seg_ref, i):
+        """Like seg_d2 but also the cross of the edge with p-closest —
+        the oriented-boundary inside sign (ops/bev.py::boundary_dist_cross
+        op order, for bit-identity with the XLA reference)."""
+        ax = seg_ref[0, i, 0]
+        ay = seg_ref[0, i, 1]
+        abx = seg_ref[0, i, 2] - ax
+        aby = seg_ref[0, i, 3] - ay
+        inv_denom = 1.0 / (abx * abx + aby * aby + 1e-9)
+        aab = ax * abx + ay * aby
+        t = jnp.clip(
+            (pxx * abx + pxy * aby - aab) * inv_denom, 0.0, 1.0
+        )
+        dx = (pxx - ax) - t * abx
+        dy = (pxy - ay) - t * aby
+        return dx * dx + dy * dy, abx * dy - aby * dx
+
+    # road channel: nearest oriented boundary edge decides inside/outside
+    # (first strict-< winner = XLA's first-occurrence argmin)
+    def bnd_body(i, carry):
+        d2min, crb = carry
+        d2, cr = seg_d2_cross(bnd_ref, i)
+        take = d2 < d2min
+        return (jnp.where(take, d2, d2min), jnp.where(take, cr, crb))
+
+    bnd_d2, bnd_cr = jax.lax.fori_loop(
+        0, counts_ref[0, 0, 0], bnd_body,
+        (jnp.full((p, 128), big, jnp.float32),
+         jnp.zeros((p, 128), jnp.float32)),
+    )
+
     route_d2 = min_d2_over(route_ref, route_ref.shape[1])
 
-    # lane channel carries the max marking value within reach
+    # lane channel carries the max marking value within per-segment reach
     def lane_body(i, acc):
-        hit = seg_d2(lane_ref, i) <= lane_half * lane_half
+        lw = lanew_ref[0, 0, i]
+        hit = seg_d2(lane_ref, i) <= lw * lw
         return jnp.maximum(
             acc, jnp.where(hit, laneval_ref[0, 0, i], 0.0)
         )
@@ -109,7 +140,9 @@ def _kernel(
         jnp.zeros((p, 128), jnp.float32),
     )
 
-    out_ref[0, 0] = (road_d2 <= half_lane * half_lane).astype(jnp.float32)
+    out_ref[0, 0] = (
+        (bnd_cr > 0.0) & (bnd_d2 <= dmax * dmax)
+    ).astype(jnp.float32)
     out_ref[0, 1] = (route_d2 <= route_half * route_half).astype(jnp.float32)
     out_ref[0, 2] = lane_v * INV_255
 
@@ -131,22 +164,25 @@ def render_bev_pallas_batch(
         [flat.xy[:, 0], flat.xy[:, 1], jnp.cos(flat.yaw),
          jnp.sin(flat.yaw)], axis=1,
     )[:, None, :]                      # (N, 1, 4) for Mosaic block rules
-    road, _, lane, lane_val = jax.vmap(
+    _, _, lane, lane_val, lane_w = jax.vmap(
         lambda xy: bev_xla.fetch_cell(scene, xy)
+    )(flat.xy)
+    bnd, _ = jax.vmap(
+        lambda xy: bev_xla.fetch_bnd_cell(scene, xy)
     )(flat.xy)
     route = jax.vmap(
         lambda r, h: bev_xla.route_window_segs(scene, r, h)
     )(flat.route_id, flat.head)
-    nr, nl = jax.vmap(
+    nb, nl = jax.vmap(
         lambda xy: bev_xla.fetch_cell_counts(scene, xy)
     )(flat.xy)
-    counts = jnp.stack([nr, nl], axis=1).astype(jnp.int32)[:, None, :]
+    counts = jnp.stack([nb, nl], axis=1).astype(jnp.int32)[:, None, :]
 
     if (w * w) % 128 != 0:  # flat-pixel layout needs whole lanes
         return bev_xla.render_bev_batch(scene, cfg, render_state)
     p128 = (w * w) // 128
 
-    mr = road.shape[1]
+    mb = bnd.shape[1]
     ml = lane.shape[1]
     k = route.shape[1]
     kernel = functools.partial(
@@ -154,9 +190,8 @@ def render_bev_pallas_batch(
         w=w,
         ppm=cfg.pixels_per_meter,
         ptb=cfg.pixels_ev_to_bottom,
-        half_lane=scene.half_lane,
+        dmax=scene.bnd_dmax,
         route_half=bev_xla.ROUTE_HALF_W,
-        lane_half=bev_xla.LANE_HALF_W,
     )
     out = pl.pallas_call(
         kernel,
@@ -166,10 +201,12 @@ def render_bev_pallas_batch(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mr, 4), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, mb, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ml, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ml), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, ml), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, k, 4), lambda i: (i, 0, 0),
@@ -181,10 +218,11 @@ def render_bev_pallas_batch(
         ),
         out_shape=jax.ShapeDtypeStruct((n, 3, p128, 128), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=n * w * w * (mr + ml + k) * 12,
-            bytes_accessed=n * (3 * w * w * 4 + (mr + ml + k) * 16),
+            flops=n * w * w * (mb + ml + k) * 12,
+            bytes_accessed=n * (3 * w * w * 4 + (mb + ml + k) * 16),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(counts, pose, road, lane, lane_val[:, None, :], route)
+    )(counts, pose, bnd, lane, lane_val[:, None, :], lane_w[:, None, :],
+      route)
     return out.reshape(lead + (3, w, w))

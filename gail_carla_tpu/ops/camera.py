@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from gail_carla_tpu.ops.bev import (
-    LANE_HALF_W, capsule_min_dist2, fetch_cell,
+    boundary_inside, fetch_bnd_cell, fetch_cell,
 )
 from gail_carla_tpu.scene.scene import StaticScene
 
@@ -111,8 +111,13 @@ def render_camera(
         + (depth * uu)[..., None] * right[None, None, :]
     ).reshape(-1, 2)
 
-    road_segs, _, lane_segs, lane_val = fetch_cell(scene, xy)
-    on_road = capsule_min_dist2(pts, road_segs) <= scene.half_lane**2
+    # ground points beyond the cell table's reach fall outside the dmax
+    # guard and paint as grass — an accepted horizon artifact (cameras are
+    # a flat-shaded approximation the policy never consumes,
+    # carla_env.py:96-100)
+    _, _, lane_segs, lane_val, lane_w = fetch_cell(scene, xy)
+    bnd_segs, _ = fetch_bnd_cell(scene, xy)
+    on_road = boundary_inside(pts, bnd_segs, scene.bnd_dmax)
 
     a = lane_segs[None, :, :2]
     b = lane_segs[None, :, 2:]
@@ -123,7 +128,7 @@ def render_camera(
     )
     d2 = jnp.sum((ap - t[..., None] * ab) ** 2, -1)
     lane_v = jnp.max(
-        jnp.where(d2 <= (LANE_HALF_W * 2) ** 2, lane_val[None, :], 0.0),
+        jnp.where(d2 <= (lane_w[None, :] * 2) ** 2, lane_val[None, :], 0.0),
         axis=1,
     )
 

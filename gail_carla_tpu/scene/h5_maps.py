@@ -1,0 +1,179 @@
+"""Ground-truth town geometry from the reference's shipped H5 mask packs.
+
+The reference ships all six towns pre-rendered at
+``/root/reference/carla_gym/core/obs_manager/birdview/maps/Town0{1..6}.h5``
+(10 uint8 layers at 5 px/m + ``world_offset_in_meters`` attrs — written by
+``carla_gym/utils/birdview_map.py:20-143``, loaded by
+``chauffeurnet.py:72-85``, checked by ``config_utils.py:11-48``). The layers
+actually populated are: road, sidewalk, shoulder, parking (Town03/05),
+lane_marking_all, and the four typed marking layers; the ``stopline`` layer
+is **empty in every town** (verified), so traffic-light stop lines cannot
+come from here — they are synthesized at junction entries like before
+(the reference gets them from live server queries,
+``traffic_light.py:79-199``).
+
+This module compiles each pack into the analytic geometry the on-device
+rasterizer consumes (scene/mask_geo.py):
+
+- road boundary edges + interior depth (exact mask reproduction);
+- lane-marking capsules with per-segment half-width and the reference's
+  channel values: ``lane_marking_all`` renders 255 and
+  ``lane_marking_white_broken`` overrides to 120 (chauffeurnet.py:188-189)
+  — reproduced by giving broken-marking capsules value 120 and carving
+  them out of the 255 set;
+- sidewalk centreline paths (walker navigation — the nav-mesh stand-in);
+- sidewalk boundary edges (walker containment / hazard geometry).
+
+Results are cached as npz under ``<repo>/.cache/h5maps`` (extraction is
+~3-20 s per town).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from gail_carla_tpu.scene import mask_geo
+
+MAPS_DIR = (
+    "/root/reference/carla_gym/core/obs_manager/birdview/maps"
+)
+CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".cache",
+    "h5maps",
+)
+PPM = 5.0
+_VERSION = 3  # bump to invalidate caches
+
+
+@dataclasses.dataclass
+class TownGeometry:
+    town: str
+    world_offset: np.ndarray        # (2,)
+    # road surface (the policy's BEV channel 0 and the off-road test)
+    bnd_ab: np.ndarray              # (B, 4) oriented boundary edges
+    bnd_dmax: float                 # max interior depth, metres
+    # lane markings (BEV channel 2)
+    lane_ab: np.ndarray             # (S, 4)
+    lane_val: np.ndarray            # (S,) 255 / 120
+    lane_hw: np.ndarray             # (S,) half width, metres
+    # sidewalks (walker navigation)
+    sidewalk_paths: List[np.ndarray]   # [(K, 2) world metres]
+    sidewalk_ab: np.ndarray         # (Bs, 4) oriented sidewalk boundary
+    sidewalk_dmax: float
+
+
+def _h5_path(town: str) -> str:
+    return os.path.join(MAPS_DIR, f"{town}.h5")
+
+
+def available_towns(root: str = MAPS_DIR) -> List[str]:
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        f[:-3] for f in os.listdir(root) if f.endswith(".h5")
+    )
+
+
+def _extract(town: str, max_err_px: float) -> TownGeometry:
+    import h5py
+    from scipy import ndimage
+
+    with h5py.File(_h5_path(town), "r") as hf:
+        off = np.asarray(hf.attrs["world_offset_in_meters"], np.float64)
+        assert float(hf.attrs["pixels_per_meter"]) == PPM
+        road = np.asarray(hf["road"]) > 0
+        lane_all = np.asarray(hf["lane_marking_all"]) > 0
+        white_broken = np.asarray(hf["lane_marking_white_broken"]) > 0
+        sidewalk = np.asarray(hf["sidewalk"]) > 0
+
+    bnd_ab, bnd_dmax = mask_geo.mask_boundary_edges(
+        road, off, PPM, max_err_px=max_err_px
+    )
+
+    # chauffeurnet.py:186-189: c_lane = 255*all, then 120 where
+    # white_broken — carve a 1-px halo so max-accumulation reproduces
+    # the override
+    if white_broken.any():
+        solid = lane_all & ~ndimage.binary_dilation(
+            white_broken, iterations=1
+        )
+    else:
+        solid = lane_all
+    ab_s, val_s, hw_s = mask_geo.mask_stroke_capsules(
+        solid, off, PPM, 255.0
+    )
+    ab_b, val_b, hw_b = mask_geo.mask_stroke_capsules(
+        white_broken, off, PPM, 120.0
+    )
+    lane_ab = np.concatenate([ab_s, ab_b], axis=0)
+    lane_val = np.concatenate([val_s, val_b], axis=0)
+    lane_hw = np.concatenate([hw_s, hw_b], axis=0)
+
+    sidewalk_paths = mask_geo.mask_ribbon_paths(sidewalk, off, PPM)
+    if sidewalk.any():
+        sw_ab, sw_dmax = mask_geo.mask_boundary_edges(
+            sidewalk, off, PPM, max_err_px=max_err_px
+        )
+    else:
+        sw_ab, sw_dmax = np.zeros((0, 4), np.float32), 0.0
+
+    return TownGeometry(
+        town=town, world_offset=off.astype(np.float32),
+        bnd_ab=bnd_ab, bnd_dmax=bnd_dmax,
+        lane_ab=lane_ab, lane_val=lane_val, lane_hw=lane_hw,
+        sidewalk_paths=sidewalk_paths,
+        sidewalk_ab=sw_ab, sidewalk_dmax=sw_dmax,
+    )
+
+
+_MEM_CACHE = {}
+
+
+def load_town_geometry(
+    town: str, max_err_px: float = 0.35, cache: bool = True
+) -> Optional[TownGeometry]:
+    """TownGeometry for ``town`` ('Town01'..'Town06'), or None if the H5
+    pack is absent. Disk-cached npz + in-process cache."""
+    key = (town, max_err_px)
+    if key in _MEM_CACHE:
+        return _MEM_CACHE[key]
+    if not os.path.exists(_h5_path(town)):
+        return None
+    path = os.path.join(
+        CACHE_DIR, f"{town}_v{_VERSION}_e{max_err_px:g}.npz"
+    )
+    if cache and os.path.exists(path):
+        z = np.load(path)
+        geo = TownGeometry(
+            town=town, world_offset=z["world_offset"],
+            bnd_ab=z["bnd_ab"], bnd_dmax=float(z["bnd_dmax"]),
+            lane_ab=z["lane_ab"], lane_val=z["lane_val"],
+            lane_hw=z["lane_hw"],
+            sidewalk_paths=[
+                z[f"sw_{i}"] for i in range(int(z["n_sw"]))
+            ],
+            sidewalk_ab=z["sidewalk_ab"],
+            sidewalk_dmax=float(z["sidewalk_dmax"]),
+        )
+        _MEM_CACHE[key] = geo
+        return geo
+    geo = _extract(town, max_err_px)
+    if cache:
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        np.savez_compressed(
+            path,
+            world_offset=geo.world_offset,
+            bnd_ab=geo.bnd_ab, bnd_dmax=geo.bnd_dmax,
+            lane_ab=geo.lane_ab, lane_val=geo.lane_val,
+            lane_hw=geo.lane_hw,
+            n_sw=len(geo.sidewalk_paths),
+            sidewalk_ab=geo.sidewalk_ab, sidewalk_dmax=geo.sidewalk_dmax,
+            **{
+                f"sw_{i}": p for i, p in enumerate(geo.sidewalk_paths)
+            },
+        )
+    _MEM_CACHE[key] = geo
+    return geo

@@ -1,0 +1,480 @@
+"""Binary-mask -> analytic geometry: oriented contours and skeleton paths.
+
+The reference ships its towns as pre-rendered mask packs
+(``carla_gym/core/obs_manager/birdview/maps/Town0X.h5``, 5 px/m uint8
+layers; loaded by ``chauffeurnet.py:72-85``, written offline by
+``carla_gym/utils/birdview_map.py:20-143``). This TPU framework never
+samples textures at runtime (per-pixel gathers compile catastrophically on
+this stack — scene/segments.py); instead the masks are compiled offline
+into two analytic forms the on-device rasterizer consumes:
+
+- **oriented boundary edges** (marching squares at the 0.5 iso-level,
+  interior on the cross-positive side): a pixel is inside the mask iff the
+  cross product of its *nearest* boundary edge with the offset to the pixel
+  is positive. With the cell-table margin extended by the mask's maximum
+  interior depth, and the extra guard ``d2 <= depth_max^2``, the test is
+  exact for every pixel (see ops/bev.py::boundary_inside for the proof
+  sketch). This reproduces the reference's warped road mask to sub-pixel
+  accuracy without any gather.
+
+- **skeleton polylines** (Zhang-Suen thinning + path tracing, carrying the
+  distance-transform half-width): thin strokes (lane markings) and walkable
+  ribbons (sidewalks) become capsule segments / navigation paths.
+
+Everything here is host-side numpy, run once per town and cached.
+
+Pixel convention (chauffeurnet.py:291-299): world = offset + (x_px, y_px)
+/ ppm; mask indexed [y_px, x_px].
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Tuple
+
+import numpy as np
+from scipy import ndimage
+
+def _chordify_fast(pts: np.ndarray, max_err: float = 0.35) -> np.ndarray:
+    """Greedy polyline chordification with bounded sagitta error, like
+    scene/segments.py::_chordify but with doubling + binary search for the
+    chord end (the decrement scan is O(n^2) on town-perimeter loops)."""
+    n = len(pts)
+    if n <= 2:
+        return pts
+
+    def ok(i, j):
+        a, b = pts[i], pts[j]
+        ab = b - a
+        denom = float(ab @ ab) + 1e-12
+        seg = pts[i + 1:j]
+        t = np.clip(((seg - a) @ ab) / denom, 0.0, 1.0)
+        d2 = np.sum((seg - (a + t[:, None] * ab)) ** 2, axis=1)
+        return d2.max(initial=0.0) <= max_err * max_err
+
+    keep = [0]
+    i = 0
+    while i < n - 1:
+        # exponential growth
+        step = 1
+        j = i + 1
+        while j < n - 1:
+            nj = min(j + step, n - 1)
+            if ok(i, nj):
+                j = nj
+                step *= 2
+            else:
+                break
+        # binary search in (j, j+step)
+        lo, hi = j, min(j + step, n - 1)
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if ok(i, mid):
+                lo = mid
+            else:
+                hi = mid - 1
+        keep.append(lo)
+        i = lo
+    return pts[keep]
+
+
+# ---------------------------------------------------------------------------
+# Marching squares: oriented 0.5-level contours
+# ---------------------------------------------------------------------------
+
+# For each 2x2 cell code (TL + 2*TR + 4*BR + 8*BL) the emitted directed
+# segments, as (start, end) picked from the cell-edge midpoints
+#   T=(x+.5, y)  B=(x+.5, y+1)  L=(x, y+.5)  R=(x+1, y+.5)
+# oriented so that cross(b-a, p-a) > 0 for interior points p (mask = 1).
+_T, _B, _L, _R = 0, 1, 2, 3
+_MS_CASES: Dict[int, List[Tuple[int, int]]] = {
+    0: [], 15: [],
+    1: [(_T, _L)],            # TL set
+    2: [(_R, _T)],            # TR
+    4: [(_B, _R)],            # BR
+    8: [(_L, _B)],            # BL
+    3: [(_R, _L)],            # top row
+    12: [(_L, _R)],           # bottom row
+    9: [(_T, _B)],            # left col
+    6: [(_B, _T)],            # right col
+    14: [(_L, _T)],           # all but TL
+    13: [(_T, _R)],           # all but TR
+    11: [(_R, _B)],           # all but BR
+    7: [(_B, _L)],            # all but BL
+    5: [(_T, _L), (_B, _R)],  # TL+BR diagonal: keep corners separate
+    10: [(_R, _T), (_L, _B)],  # TR+BL diagonal
+}
+
+
+def _midpoints(ys: np.ndarray, xs: np.ndarray) -> np.ndarray:
+    """(4, n, 2) midpoint coordinates (x, y) of T/B/L/R for cells at
+    (ys, xs), in half-pixel integer units (x2 to stay exact)."""
+    x2 = xs.astype(np.int64) * 2
+    y2 = ys.astype(np.int64) * 2
+    t = np.stack([x2 + 1, y2], axis=1)
+    b = np.stack([x2 + 1, y2 + 2], axis=1)
+    left = np.stack([x2, y2 + 1], axis=1)
+    r = np.stack([x2 + 2, y2 + 1], axis=1)
+    return np.stack([t, b, left, r], axis=0)
+
+
+def mask_contour_loops(mask: np.ndarray) -> List[np.ndarray]:
+    """Closed oriented contour loops of a binary mask at the 0.5 level.
+
+    Returns a list of (K, 2) float arrays in pixel coordinates (x, y),
+    each a closed loop (last point != first; closure implied), oriented so
+    interior is on the cross-positive side. Holes come out with opposite
+    winding automatically, so one sign test serves both."""
+    m = np.pad(mask.astype(bool), 1).astype(np.int8)
+    code = (
+        m[:-1, :-1] + 2 * m[:-1, 1:] + 4 * m[1:, 1:] + 8 * m[1:, :-1]
+    )
+    starts: List[np.ndarray] = []
+    ends: List[np.ndarray] = []
+    for c, segs in _MS_CASES.items():
+        if not segs:
+            continue
+        ys, xs = np.nonzero(code == c)
+        if len(ys) == 0:
+            continue
+        mid = _midpoints(ys, xs)
+        for a, b in segs:
+            starts.append(mid[a])
+            ends.append(mid[b])
+    if not starts:
+        return []
+    s = np.concatenate(starts, axis=0)
+    e = np.concatenate(ends, axis=0)
+    # link: each start key maps to its segment (orientations are consistent,
+    # so every midpoint has exactly one outgoing segment)
+    nxt = {}
+    for i in range(len(s)):
+        nxt[(int(s[i, 0]), int(s[i, 1]))] = i
+    used = np.zeros(len(s), bool)
+    loops: List[np.ndarray] = []
+    for i0 in range(len(s)):
+        if used[i0]:
+            continue
+        pts = []
+        i = i0
+        while not used[i]:
+            used[i] = True
+            pts.append(s[i])
+            i = nxt[(int(e[i, 0]), int(e[i, 1]))]
+        loop = np.asarray(pts, np.float64) * 0.5 - 1.0  # un-pad, un-x2
+        loops.append(loop)
+    return loops
+
+
+def loops_to_edges(
+    loops: List[np.ndarray],
+    offset: np.ndarray,
+    ppm: float,
+    max_err_px: float = 0.35,
+    min_loop_px: int = 4,
+) -> np.ndarray:
+    """Chordify contour loops and convert to world-space directed edges.
+
+    Returns (B, 4) float32 [ax, ay, bx, by] with interior on the
+    cross-positive side (cross(b-a, p-a) > 0)."""
+    out = []
+    for loop in loops:
+        if len(loop) < min_loop_px:
+            continue
+        closed = np.concatenate([loop, loop[:1]], axis=0)
+        ch = _chordify_fast(closed, max_err=max_err_px)
+        w = ch / ppm + np.asarray(offset, np.float64)[None, :]
+        out.append(
+            np.concatenate([w[:-1], w[1:]], axis=1)
+        )
+    if not out:
+        return np.zeros((0, 4), np.float32)
+    ab = np.concatenate(out, axis=0)
+    keep = np.linalg.norm(ab[:, 2:] - ab[:, :2], axis=1) > 1e-9
+    return ab[keep].astype(np.float32)
+
+
+def mask_boundary_edges(
+    mask: np.ndarray,
+    offset: np.ndarray,
+    ppm: float,
+    max_err_px: float = 0.35,
+) -> Tuple[np.ndarray, float]:
+    """(edges (B, 4) world-space oriented boundary, depth_max metres).
+
+    depth_max is the maximum interior depth (distance transform peak):
+    any point farther than depth_max from every boundary edge is outside
+    the mask — the guard that makes the nearest-edge sign test exact with
+    cell-local edge tables."""
+    edges = loops_to_edges(mask_contour_loops(mask), offset, ppm, max_err_px)
+    if mask.any():
+        # +0.5 px: the contour sits on edge midpoints, up to half a pixel
+        # outside the center-sampled distance transform
+        dmax = float(ndimage.distance_transform_edt(mask).max() + 0.75) / ppm
+    else:
+        dmax = 0.0
+    return edges, dmax
+
+
+def points_inside(edges: np.ndarray, dmax: float, pts: np.ndarray,
+                  chunk: int = 4096) -> np.ndarray:
+    """Host-side reference of the on-device test (ops/bev.py::
+    boundary_inside): inside iff the nearest edge's cross is positive and
+    the distance is within dmax. Used by tests and fidelity reports."""
+    if len(edges) == 0:
+        return np.zeros(len(pts), bool)
+    a = edges[None, :, :2].astype(np.float64)
+    ab = (edges[:, 2:] - edges[:, :2])[None].astype(np.float64)
+    inv = 1.0 / (np.sum(ab * ab, -1) + 1e-12)
+    out = np.zeros(len(pts), bool)
+    for i in range(0, len(pts), chunk):
+        p = pts[i:i + chunk, None, :].astype(np.float64)
+        t = np.clip(np.sum((p - a) * ab, -1) * inv, 0.0, 1.0)
+        d = (p - a) - t[..., None] * ab
+        d2 = np.sum(d * d, -1)
+        j = np.argmin(d2, axis=1)
+        rows = np.arange(len(j))
+        cr = (ab[0, j, 0] * d[rows, j, 1] - ab[0, j, 1] * d[rows, j, 0])
+        out[i:i + chunk] = (cr > 0.0) & (d2[rows, j] <= dmax * dmax)
+    return out
+
+
+def boundary_project(edges: np.ndarray, pts: np.ndarray,
+                     chunk: int = 4096):
+    """(closest (N,2), signed_d (N,), inward_n (N,2)): nearest boundary
+    point, signed distance (positive inside) and the nearest edge's inward
+    unit normal. Host-side; used to repair reconstructed lane graphs that
+    stray off the ground-truth road mask."""
+    a = edges[None, :, :2].astype(np.float64)
+    ab = (edges[:, 2:] - edges[:, :2])[None].astype(np.float64)
+    inv = 1.0 / (np.sum(ab * ab, -1) + 1e-12)
+    closest = np.zeros((len(pts), 2))
+    sd = np.zeros(len(pts))
+    inward = np.zeros((len(pts), 2))
+    for i in range(0, len(pts), chunk):
+        p = pts[i:i + chunk, None, :].astype(np.float64)
+        t = np.clip(np.sum((p - a) * ab, -1) * inv, 0.0, 1.0)
+        cp = a + t[..., None] * ab
+        d = p - cp
+        d2 = np.sum(d * d, -1)
+        j = np.argmin(d2, axis=1)
+        rows = np.arange(len(j))
+        e = ab[0, j]
+        dj = d[rows, j]
+        cr = e[:, 0] * dj[:, 1] - e[:, 1] * dj[:, 0]
+        n = np.stack([-e[:, 1], e[:, 0]], axis=1)
+        n /= np.linalg.norm(n, axis=1, keepdims=True) + 1e-12
+        closest[i:i + chunk] = cp[rows, j]
+        sd[i:i + chunk] = np.where(cr > 0, 1.0, -1.0) * np.sqrt(d2[rows, j])
+        inward[i:i + chunk] = n
+    return closest, sd, inward
+
+
+def boundary_signed_distance(edges: np.ndarray, pts: np.ndarray,
+                             chunk: int = 4096) -> np.ndarray:
+    """Signed distance to the oriented boundary: positive inside the mask,
+    negative outside (host-side; used for lane-graph validation/repair and
+    multi-lane width probing)."""
+    if len(edges) == 0:
+        return np.full(len(pts), -1e9)
+    a = edges[None, :, :2].astype(np.float64)
+    ab = (edges[:, 2:] - edges[:, :2])[None].astype(np.float64)
+    inv = 1.0 / (np.sum(ab * ab, -1) + 1e-12)
+    out = np.zeros(len(pts))
+    for i in range(0, len(pts), chunk):
+        p = pts[i:i + chunk, None, :].astype(np.float64)
+        t = np.clip(np.sum((p - a) * ab, -1) * inv, 0.0, 1.0)
+        d = (p - a) - t[..., None] * ab
+        d2 = np.sum(d * d, -1)
+        j = np.argmin(d2, axis=1)
+        rows = np.arange(len(j))
+        cr = (ab[0, j, 0] * d[rows, j, 1] - ab[0, j, 1] * d[rows, j, 0])
+        out[i:i + chunk] = np.where(
+            cr > 0.0, 1.0, -1.0
+        ) * np.sqrt(d2[rows, j])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Zhang-Suen thinning + skeleton path tracing
+# ---------------------------------------------------------------------------
+
+def thin_mask(mask: np.ndarray, max_iter: int = 200) -> np.ndarray:
+    """Zhang-Suen thinning to a 1-px-wide 8-connected skeleton."""
+    img = np.pad(mask.astype(bool), 1)
+
+    def neighbours(a):
+        # p2..p9 clockwise from north (standard Zhang-Suen ordering)
+        return [
+            np.roll(a, (1, 0), (0, 1)),    # p2 N
+            np.roll(a, (1, -1), (0, 1)),   # p3 NE
+            np.roll(a, (0, -1), (0, 1)),   # p4 E
+            np.roll(a, (-1, -1), (0, 1)),  # p5 SE
+            np.roll(a, (-1, 0), (0, 1)),   # p6 S
+            np.roll(a, (-1, 1), (0, 1)),   # p7 SW
+            np.roll(a, (0, 1), (0, 1)),    # p8 W
+            np.roll(a, (1, 1), (0, 1)),    # p9 NW
+        ]
+
+    for _ in range(max_iter):
+        changed = False
+        for phase in (0, 1):
+            p = neighbours(img)
+            b = sum(x.astype(np.int8) for x in p)
+            ring = p + [p[0]]
+            a = sum(
+                ((~ring[k]) & ring[k + 1]).astype(np.int8)
+                for k in range(8)
+            )
+            if phase == 0:
+                c1 = ~(p[0] & p[2] & p[4])
+                c2 = ~(p[2] & p[4] & p[6])
+            else:
+                c1 = ~(p[0] & p[2] & p[6])
+                c2 = ~(p[0] & p[4] & p[6])
+            kill = img & (b >= 2) & (b <= 6) & (a == 1) & c1 & c2
+            if kill.any():
+                img &= ~kill
+                changed = True
+        if not changed:
+            break
+    return img[1:-1, 1:-1]
+
+
+_NBR8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0),
+         (1, 1)]
+
+
+def skeleton_paths(skel: np.ndarray, min_len: int = 3) -> List[np.ndarray]:
+    """Trace an 8-connected skeleton into maximal paths between
+    endpoints/branch nodes (plus isolated loops). Returns (K, 2) pixel
+    (x, y) arrays."""
+    ys, xs = np.nonzero(skel)
+    on = set(zip(ys.tolist(), xs.tolist()))
+    deg = {}
+    for p in on:
+        deg[p] = sum(
+            ((p[0] + dy, p[1] + dx) in on) for dy, dx in _NBR8
+        )
+    nodes = {p for p, d in deg.items() if d != 2}
+    visited = set()   # directed half-edges (p, q)
+    paths: List[np.ndarray] = []
+
+    def walk(start, first):
+        pts = [start, first]
+        visited.add((start, first))
+        prev, cur = start, first
+        while cur not in nodes:
+            outs = [
+                (cur[0] + dy, cur[1] + dx)
+                for dy, dx in _NBR8
+                if (cur[0] + dy, cur[1] + dx) in on
+                and (cur[0] + dy, cur[1] + dx) != prev
+            ]
+            if len(outs) != 1:
+                break
+            nxt = outs[0]
+            if (cur, nxt) in visited:
+                break
+            visited.add((cur, nxt))
+            pts.append(nxt)
+            prev, cur = cur, nxt
+        visited.add((cur, prev))
+        return pts
+
+    for p in sorted(nodes):
+        for dy, dx in _NBR8:
+            q = (p[0] + dy, p[1] + dx)
+            if q in on and (p, q) not in visited:
+                pts = walk(p, q)
+                if len(pts) >= min_len:
+                    paths.append(
+                        np.array([(x, y) for y, x in pts], np.float64)
+                    )
+    # pure loops (no nodes on them)
+    for p in sorted(on):
+        if p in nodes:
+            continue
+        touched = any(
+            ((p, (p[0] + dy, p[1] + dx)) in visited) for dy, dx in _NBR8
+        )
+        if touched:
+            continue
+        q = next(
+            (p[0] + dy, p[1] + dx)
+            for dy, dx in _NBR8
+            if (p[0] + dy, p[1] + dx) in on
+        )
+        pts = walk(p, q)
+        if len(pts) >= min_len:
+            paths.append(np.array([(x, y) for y, x in pts], np.float64))
+    return paths
+
+
+def mask_stroke_capsules(
+    mask: np.ndarray,
+    offset: np.ndarray,
+    ppm: float,
+    value: float,
+    max_err_px: float = 0.5,
+    min_len_px: int = 3,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Thin-stroke mask (lane markings) -> valued capsule segments.
+
+    Returns (ab (S, 4) world, val (S,), half_w (S,) metres). Half-width per
+    segment = mean distance-transform value along it (the stroke's true
+    half thickness), so broad double lines and thin singles both
+    reproduce."""
+    if not mask.any():
+        z = np.zeros((0,), np.float32)
+        return np.zeros((0, 4), np.float32), z, z
+    dist = ndimage.distance_transform_edt(mask)
+    skel = thin_mask(mask)
+    ab_out, hw_out = [], []
+    for path in skeleton_paths(skel, min_len=min_len_px):
+        ch = _chordify_fast(path, max_err=max_err_px)
+        w = ch / ppm + np.asarray(offset, np.float64)[None, :]
+        seg = np.concatenate([w[:-1], w[1:]], axis=1)
+        # per-chord half width from the distance transform at the chord's
+        # sample points (skeleton sits mid-stroke: D ~ half width + 0.5 px)
+        mid = 0.5 * (ch[:-1] + ch[1:])
+        xi = np.clip(mid[:, 0].round().astype(int), 0, mask.shape[1] - 1)
+        yi = np.clip(mid[:, 1].round().astype(int), 0, mask.shape[0] - 1)
+        hw = np.maximum(dist[yi, xi] - 0.5, 0.5) / ppm
+        ab_out.append(seg)
+        hw_out.append(hw)
+    if not ab_out:
+        z = np.zeros((0,), np.float32)
+        return np.zeros((0, 4), np.float32), z, z
+    ab = np.concatenate(ab_out, axis=0).astype(np.float32)
+    hw = np.concatenate(hw_out, axis=0).astype(np.float32)
+    val = np.full(len(ab), value, np.float32)
+    return ab, val, hw
+
+
+def mask_ribbon_paths(
+    mask: np.ndarray,
+    offset: np.ndarray,
+    ppm: float,
+    min_len_m: float = 8.0,
+    step_m: float = 1.0,
+) -> List[np.ndarray]:
+    """Walkable-ribbon mask (sidewalks) -> centreline polylines in world
+    metres, resampled at ~step_m (walker navigation paths — the stand-in
+    for CARLA's nav-mesh, zombie_walker_handler.py:7-98)."""
+    if not mask.any():
+        return []
+    skel = thin_mask(mask)
+    out = []
+    for path in skeleton_paths(skel):
+        w = path / ppm + np.asarray(offset, np.float64)[None, :]
+        d = np.linalg.norm(np.diff(w, axis=0), axis=1)
+        s = np.concatenate([[0.0], np.cumsum(d)])
+        if s[-1] < min_len_m:
+            continue
+        n = max(int(round(s[-1] / step_m)), 2)
+        s_new = np.linspace(0.0, s[-1], n + 1)
+        out.append(np.stack(
+            [np.interp(s_new, s, w[:, 0]), np.interp(s_new, s, w[:, 1])],
+            axis=1,
+        ))
+    return out

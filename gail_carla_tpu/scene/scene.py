@@ -102,6 +102,25 @@ class StaticScene:
     cell_tl_idx: jnp.ndarray = None   # (Gy, Gx, Mt) i32 source light id
     cell_tl_n: jnp.ndarray = None     # (Gy, Gx) i32
 
+    # --- oriented road-boundary edges (exact drivable-surface geometry:
+    #     marching-squares contours of the town's road mask — the
+    #     reference's H5 ``road`` layer for imported towns, the rasterized
+    #     lane corridors for procedural ones; scene/mask_geo.py). The BEV
+    #     road channel and the off-road collision test are
+    #     nearest-edge-sign lookups into these tables. ---
+    cell_bnd: jnp.ndarray = None      # (Gy, Gx, Mb, 4) f32
+    cell_bnd_n: jnp.ndarray = None    # (Gy, Gx) i32
+    bnd_dmax: float = struct.field(pytree_node=False, default=40.0)
+    cell_lane_w: jnp.ndarray = None   # (Gy, Gx, Ml) f32 marking half width
+
+    # --- sidewalk centreline paths (walker navigation; H5 ``sidewalk``
+    #     skeletons for imported towns, None -> lateral-band fallback) ---
+    walk_xy: jnp.ndarray = None       # (Wp, Lw, 2) f32
+    walk_yaw: jnp.ndarray = None      # (Wp, Lw) f32
+    walk_n: jnp.ndarray = None        # (Wp,) i32
+    walk_cross: jnp.ndarray = None    # (Wp,) f32 signed lateral offset of a
+    #   road crossing from this path (sign = which side the road is on)
+
     # --- scenario actors: per-task scripted vehicles with their own routes
     #     (ScenarioActorHandler, scenario_actor_handler.py:6-50; the
     #     actors.json counterpart). Their polylines live in the patrol
@@ -198,10 +217,18 @@ def build_scene(
     dense=None,
     scenario_actors=None,
     obstacles=None,
+    geometry=None,
 ) -> StaticScene:
     """``dense`` optionally supplies precomputed DenseRoutes (imported
     reference towns densify from the route's own legs, scene/town_import.py,
     instead of re-tracing through the merged graph).
+
+    ``geometry`` optionally supplies ground-truth mask geometry
+    (scene/h5_maps.py::TownGeometry: road boundary edges + interior depth,
+    lane-marking capsules with per-segment value/half-width, sidewalk
+    paths). When absent, the boundary is extracted from the graph's own
+    rasterized road mask (scene/raster.py -> scene/mask_geo.py) so the BEV
+    road channel uses one code path for every town.
 
     ``scenario_actors`` maps route_id -> [(polyline_xy, target_speed), ...]
     — per-task scripted vehicles (the actors.json counterpart,
@@ -256,10 +283,66 @@ def build_scene(
 
     # spatial-hash segment tables
     soup = seg_mod.extract_segments(graph)
+    if geometry is not None:
+        # ground-truth lane markings replace the graph-derived ones
+        soup = seg_mod.SegmentSoup(
+            road_ab=soup.road_ab, road_junction=soup.road_junction,
+            lane_ab=np.asarray(geometry.lane_ab, np.float32).reshape(-1, 4),
+            lane_val=np.asarray(geometry.lane_val, np.float32),
+            lane_hw=np.asarray(geometry.lane_hw, np.float32),
+        )
     all_pts = np.concatenate([e.pts for e in graph.edges], axis=0)
     table = seg_mod.build_cell_table(
         soup, all_pts.min(axis=0), all_pts.max(axis=0), cell_size=cell_size
     )
+
+    # oriented road-boundary edges: ground truth when supplied, else from
+    # the graph's own rasterized road mask (one render path for all towns)
+    if geometry is not None:
+        bnd_ab = np.asarray(geometry.bnd_ab, np.float32).reshape(-1, 4)
+        bnd_dmax = float(geometry.bnd_dmax)
+    else:
+        from gail_carla_tpu.scene import mask_geo
+        from gail_carla_tpu.scene.raster import rasterize_town
+
+        tex = rasterize_town(graph)
+        bnd_ab, bnd_dmax = mask_geo.mask_boundary_edges(
+            tex.road > 0, tex.world_offset.astype(np.float64), tex.ppm
+        )
+    gy_, gx_ = table.road.shape[:2]
+    cell_bnd, cell_bnd_n = seg_mod.build_bnd_cells(
+        bnd_ab, table.grid_lo, gy_, gx_, table.cell_size, bnd_dmax
+    )
+
+    # sidewalk walker paths + per-path road-crossing offsets (the signed
+    # lateral displacement that carries a walker from this pavement across
+    # the adjacent road — sign from which side the road boundary lies)
+    walk_xy = walk_yaw = walk_n = walk_cross = None
+    if geometry is not None and getattr(geometry, "sidewalk_paths", None):
+        from gail_carla_tpu.scene import mask_geo
+
+        wps = [_polyline_with_yaw(p) for p in geometry.sidewalk_paths]
+        walk_xy, walk_yaw, _, walk_n = _pad_polyline_set(wps)
+        crosses = []
+        for p in geometry.sidewalk_paths:
+            mid = np.asarray(p[:: max(len(p) // 8, 1)], np.float64)
+            closest, sd, _ = mask_geo.boundary_project(bnd_ab, mid)
+            d = closest - mid
+            tang = np.gradient(np.asarray(p, np.float64), axis=0)[
+                :: max(len(p) // 8, 1)
+            ][: len(mid)]
+            tang /= np.linalg.norm(tang, axis=1, keepdims=True) + 1e-9
+            nrm = np.stack([-tang[:, 1], tang[:, 0]], axis=1)
+            side = np.sign(np.sum(np.sum(d * nrm, axis=1)))
+            side = side if side != 0 else 1.0
+            # pavement-to-pavement: across the gap to the road plus a
+            # typical 7 m carriageway plus the far pavement inset
+            dist = 2.0 * float(np.mean(np.abs(sd))) + 7.0
+            crosses.append(side * dist)
+        walk_xy = jnp.asarray(walk_xy)
+        walk_yaw = jnp.asarray(walk_yaw)
+        walk_n = jnp.asarray(walk_n)
+        walk_cross = jnp.asarray(np.asarray(crosses, np.float32))
 
     tls = graph.traffic_lights
     sss = graph.stop_signs
@@ -283,7 +366,6 @@ def build_scene(
         ss_yaw[i] = s.yaw
         ss_extent[i] = s.extent
 
-    gy_, gx_ = table.road.shape[:2]
     cell_tl, cell_tl_idx, cell_tl_n = seg_mod.build_tl_cells(
         tl_stop, table.grid_lo, gy_, gx_, table.cell_size
     )
@@ -337,7 +419,15 @@ def build_scene(
         cell_tl_n=jnp.asarray(cell_tl_n),
         cell_lane=jnp.asarray(table.lane),
         cell_lane_val=jnp.asarray(table.lane_val),
+        cell_lane_w=jnp.asarray(table.lane_w),
         cell_lane_n=jnp.asarray(table.lane_n),
+        cell_bnd=jnp.asarray(cell_bnd),
+        cell_bnd_n=jnp.asarray(cell_bnd_n),
+        bnd_dmax=bnd_dmax,
+        walk_xy=walk_xy,
+        walk_yaw=walk_yaw,
+        walk_n=walk_n,
+        walk_cross=walk_cross,
         cell_size=table.cell_size,
         half_lane=float(graph.lane_width / 2.0),
         tl_stop=jnp.asarray(tl_stop),

@@ -50,6 +50,9 @@ def _chordify(pts: np.ndarray, max_err: float = 0.35) -> np.ndarray:
     return pts[keep]
 
 
+LANE_HALF_W_DEFAULT = 0.25  # m; ~2 px marking stroke (graph-derived towns)
+
+
 @dataclasses.dataclass
 class SegmentSoup:
     road_ab: np.ndarray    # (Sr, 4) x0 y0 x1 y1 — lane-corridor centrelines
@@ -57,6 +60,7 @@ class SegmentSoup:
     lane_ab: np.ndarray    # (Sl, 4) — lane-marking lines
     lane_val: np.ndarray   # (Sl,) 255 solid / 120 broken (chauffeurnet
                            # mask values, chauffeurnet.py:188-189)
+    lane_hw: np.ndarray = None  # (Sl,) capsule half width, metres
 
 
 def extract_segments(graph: LaneGraph, max_err: float = 0.35) -> SegmentSoup:
@@ -86,23 +90,68 @@ def extract_segments(graph: LaneGraph, max_err: float = 0.35) -> SegmentSoup:
                 b = ch[1:] + right * off
                 lane.append(np.concatenate([a, b], axis=1))
                 lane_val.extend([val] * len(a))
+    lane_ab_arr = np.concatenate(lane, axis=0).astype(np.float32)
     return SegmentSoup(
         road_ab=np.concatenate(road, axis=0).astype(np.float32),
         road_junction=np.asarray(road_junction, np.float32),
-        lane_ab=np.concatenate(lane, axis=0).astype(np.float32),
+        lane_ab=lane_ab_arr,
         lane_val=np.asarray(lane_val, np.float32),
+        lane_hw=np.full(len(lane_ab_arr), LANE_HALF_W_DEFAULT, np.float32),
     )
 
 
 def _seg_rect_dist(ab: np.ndarray, lo: np.ndarray, hi: np.ndarray):
     """Min distance between segments (S, 4) and an axis-aligned rect,
-    conservatively via sampled segment points (cheap, host-side)."""
-    S = len(ab)
+    conservatively via sampled segment points (cheap, host-side). The
+    9-point sampling overestimates by at most len/16, so callers must
+    subdivide long segments first (``_subdivide``)."""
+    if len(ab) == 0:
+        return np.zeros((0,))
     t = np.linspace(0.0, 1.0, 9)[None, :, None]
     pts = ab[:, None, :2] * (1 - t) + ab[:, None, 2:] * t  # (S, 9, 2)
     dx = np.maximum(np.maximum(lo[0] - pts[..., 0], pts[..., 0] - hi[0]), 0)
     dy = np.maximum(np.maximum(lo[1] - pts[..., 1], pts[..., 1] - hi[1]), 0)
     return np.sqrt(dx * dx + dy * dy).min(axis=1)
+
+
+def _subdivide(ab: np.ndarray, max_len: float = 6.0):
+    """Split segments into <= max_len pieces for the bucketing distance
+    test (9-sample error <= max_len/16 ~ 0.4 m, inside the margin slack).
+    Returns (pieces (P, 4), parent (P,) int)."""
+    if len(ab) == 0:
+        return ab, np.zeros((0,), np.int64)
+    a = ab[:, :2]
+    b = ab[:, 2:]
+    n = np.maximum(
+        np.ceil(np.linalg.norm(b - a, axis=1) / max_len).astype(np.int64), 1
+    )
+    parent = np.repeat(np.arange(len(ab)), n)
+    # fractional positions within each parent
+    idx_in = np.arange(len(parent)) - np.repeat(
+        np.concatenate([[0], np.cumsum(n)[:-1]]), n
+    )
+    t0 = idx_in / n[parent]
+    t1 = (idx_in + 1) / n[parent]
+    pa = a[parent] + (b - a)[parent] * t0[:, None]
+    pb = a[parent] + (b - a)[parent] * t1[:, None]
+    return np.concatenate([pa, pb], axis=1), parent
+
+
+def _bucket_ids(ab, grid_lo, gy, gx, cell_size, margin):
+    """Per-cell lists of segment indices within ``margin`` of each cell
+    rect (long segments handled via subdivision)."""
+    per_cell = [[] for _ in range(gy * gx)]
+    if len(ab) == 0:
+        return per_cell
+    pieces, parent = _subdivide(np.asarray(ab, np.float64))
+    for cy in range(gy):
+        for cx in range(gx):
+            c_lo = grid_lo + np.array([cx, cy]) * cell_size
+            c_hi = c_lo + cell_size
+            d = _seg_rect_dist(pieces, c_lo - margin, c_hi + margin)
+            hit = np.unique(parent[d <= 1e-6])
+            per_cell[cy * gx + cx] = list(hit)
+    return per_cell
 
 
 @dataclasses.dataclass
@@ -116,6 +165,7 @@ class CellTable:
     road_n: np.ndarray       # (Gy, Gx) i32 live (non-sentinel) road segs
     lane: np.ndarray         # (Gy, Gx, Ml, 4)
     lane_val: np.ndarray     # (Gy, Gx, Ml)
+    lane_w: np.ndarray       # (Gy, Gx, Ml) capsule half width, metres
     lane_n: np.ndarray       # (Gy, Gx) i32 live lane segs
 
 
@@ -136,13 +186,7 @@ def build_cell_table(
     gy = int(math.ceil((bounds_hi[1] - lo[1]) / cell_size)) + 1
 
     def bucket(ab):
-        per_cell: List[List[int]] = [[] for _ in range(gy * gx)]
-        for cy in range(gy):
-            for cx in range(gx):
-                c_lo = lo + np.array([cx, cy]) * cell_size
-                c_hi = c_lo + cell_size
-                d = _seg_rect_dist(ab, c_lo - margin, c_hi + margin)
-                per_cell[cy * gx + cx] = list(np.nonzero(d <= 0.0 + 1e-6)[0])
+        per_cell = _bucket_ids(ab, lo, gy, gx, cell_size, margin)
         m = max(max(len(c) for c in per_cell), 1)
         m = ((m + pad_mult - 1) // pad_mult) * pad_mult
         return per_cell, m
@@ -155,7 +199,13 @@ def build_cell_table(
     road_n = np.zeros((gy, gx), np.int32)
     lane = np.full((gy, gx, ml, 4), FAR, np.float32)
     lane_val = np.zeros((gy, gx, ml), np.float32)
+    lane_w = np.full((gy, gx, ml), LANE_HALF_W_DEFAULT, np.float32)
     lane_n = np.zeros((gy, gx), np.int32)
+    soup_hw = (
+        soup.lane_hw
+        if soup.lane_hw is not None
+        else np.full(len(soup.lane_ab), LANE_HALF_W_DEFAULT, np.float32)
+    )
     for cy in range(gy):
         for cx in range(gx):
             ids = road_cells[cy * gx + cx]
@@ -165,13 +215,49 @@ def build_cell_table(
             ids = lane_cells[cy * gx + cx]
             lane[cy, cx, : len(ids)] = soup.lane_ab[ids]
             lane_val[cy, cx, : len(ids)] = soup.lane_val[ids]
+            lane_w[cy, cx, : len(ids)] = soup_hw[ids]
             lane_n[cy, cx] = len(ids)
 
     return CellTable(
         grid_lo=lo.astype(np.float32), cell_size=float(cell_size),
         road=road, road_flag=road_flag, road_n=road_n,
-        lane=lane, lane_val=lane_val, lane_n=lane_n,
+        lane=lane, lane_val=lane_val, lane_w=lane_w, lane_n=lane_n,
     )
+
+
+def build_bnd_cells(
+    bnd_ab: np.ndarray,
+    grid_lo: np.ndarray,
+    gy: int,
+    gx: int,
+    cell_size: float,
+    dmax: float,
+    pixel_reach: float = 37.0,
+    pad_mult: int = 8,
+):
+    """Per-cell oriented road-boundary edge tables (scene/mask_geo.py).
+
+    Margin rule for EXACTNESS of the nearest-edge sign test (ops/bev.py::
+    boundary_inside): a pixel within ``pixel_reach`` of its cell whose true
+    nearest boundary edge is within ``dmax`` must find that edge in its
+    cell's table, so margin = pixel_reach + dmax. Points farther than dmax
+    from every edge are provably outside (dmax = the mask's deepest interior
+    point), which the renderer enforces with its ``d2 <= dmax^2`` guard.
+
+    Returns (cell_bnd (Gy,Gx,Mb,4), cell_bnd_n (Gy,Gx) i32).
+    """
+    margin = pixel_reach + dmax + 1.0
+    per_cell = _bucket_ids(bnd_ab, grid_lo, gy, gx, cell_size, margin)
+    mb = max(max(len(c) for c in per_cell), 1)
+    mb = ((mb + pad_mult - 1) // pad_mult) * pad_mult
+    cell_bnd = np.full((gy, gx, mb, 4), FAR, np.float32)
+    cell_bnd_n = np.zeros((gy, gx), np.int32)
+    for cy in range(gy):
+        for cx in range(gx):
+            ids = per_cell[cy * gx + cx]
+            cell_bnd[cy, cx, : len(ids)] = bnd_ab[ids]
+            cell_bnd_n[cy, cx] = len(ids)
+    return cell_bnd, cell_bnd_n
 
 
 def build_tl_cells(tl_stop, grid_lo, gy: int, gx: int,
@@ -188,13 +274,7 @@ def build_tl_cells(tl_stop, grid_lo, gy: int, gx: int,
     """
     T = tl_stop.shape[0]
     ab = tl_stop.reshape(T, 4).astype(np.float32)
-    per_cell = [[] for _ in range(gy * gx)]
-    for cy in range(gy):
-        for cx in range(gx):
-            c_lo = grid_lo + np.array([cx, cy]) * cell_size
-            c_hi = c_lo + cell_size
-            d = _seg_rect_dist(ab, c_lo - margin, c_hi + margin)
-            per_cell[cy * gx + cx] = list(np.nonzero(d <= 1e-6)[0])
+    per_cell = _bucket_ids(ab, grid_lo, gy, gx, cell_size, margin)
     mt = max(max(len(c) for c in per_cell), 1)
     mt = ((mt + pad_mult - 1) // pad_mult) * pad_mult
     cell_tl = np.full((gy, gx, mt, 4), FAR, np.float32)

@@ -1,25 +1,35 @@
-"""Reference-town reconstruction: Town01-06 lane graphs from route XMLs.
+"""Reference-town reconstruction: Town01-06 from route XMLs + H5 packs.
 
-The reference runs on CARLA's Town01-06 OpenDRIVE maps plus pre-rendered
-``maps/TownXX.h5`` mask packs (``chauffeurnet.py:72-85``, checker
-``config_utils.py:11-48``). Neither the OpenDRIVE files nor the H5 packs are
-shipped in the repo — the only town geometry that IS shipped is the route
-waypoint data: ``data/routes_{training,testing,devtest}.xml`` and the
-scenario-description packs (``carla_gym/envs/scenario_descriptions/**``),
-whose waypoints are lane-centerline poses (x, y, yaw) in real town
-coordinates (``config_utils.py:73-100`` parses them).
+Two ground-truth sources ship with the reference:
 
-This module reconstructs a navigable town from that data: every
-consecutive-waypoint leg of every known route is densified into straight
-runs + junction arcs (CARLA routes place waypoints at decision points, so a
-leg is straight-road / single-turn / gentle-curve); collinear runs from
-different routes are merged; junctions are detected where turn corners
-cluster; traffic lights are synthesized at signalized-junction entries
-(real positions are not in the data — phases/stop-lines follow
-``sim/signals.py`` semantics). The output is the same ``LaneGraph`` the
-procedural grid town produces, so the whole sim/obs/criteria stack works on
-real-town coordinates unchanged, and the benchmark routes (training routes
-0-9 = the Town01 pack, ``params_variable.json:13``) run verbatim.
+1. **Route waypoint data** — ``data/routes_{training,testing,devtest}.xml``
+   and the scenario-description packs
+   (``carla_gym/envs/scenario_descriptions/**``): lane-centerline poses
+   (x, y, yaw) in real town coordinates (``config_utils.py:73-100``).
+   These carry the lane TOPOLOGY evidence (where lanes run, which turns
+   connect them).
+2. **The pre-rendered mask packs** —
+   ``carla_gym/core/obs_manager/birdview/maps/Town0{1..6}.h5`` (10 uint8
+   layers at 5 px/m; loaded by ``chauffeurnet.py:72-85``, checked by
+   ``config_utils.py:11-48``): the exact road / sidewalk / lane-marking
+   PIXELS the reference policy observes. These carry the surface GEOMETRY
+   ground truth (road polygons, real widths, marking lines). The
+   ``stopline`` layer is empty in every town (verified), so traffic-light
+   stop lines still have to be synthesized.
+
+This module builds the lane graph from (1): every consecutive-waypoint leg
+of every known route is densified into straight runs + junction arcs,
+collinear runs are merged, junctions detected where turn corners cluster,
+and lights synthesized at signalized-junction entries (phases/stop-lines
+follow ``sim/signals.py`` semantics). The graph and each task's dense route
+are then VALIDATED AND REPAIRED against (2): any polyline point that strays
+outside (or within ``clearance`` of) the H5 road mask is pulled back inside
+via the oriented-boundary projection (``repair_graph_to_mask``,
+``scene/mask_geo.py::boundary_project``) — the invented junction-arc radii
+are thereby corrected to the true junction polygons. The mask geometry
+itself (boundary edges, marking capsules, sidewalk paths —
+``scene/h5_maps.py``) is handed to ``build_scene`` so the BEV road/lane
+channels render the reference's actual town pixels.
 """
 from __future__ import annotations
 
@@ -485,6 +495,72 @@ def build_town_graph(
 
 
 # ---------------------------------------------------------------------------
+# Mask-guided repair (H5 road layer as geometry ground truth)
+# ---------------------------------------------------------------------------
+
+def repair_polyline(
+    xy: np.ndarray, geometry, clearance: float = 1.0,
+    smooth_passes: int = 2,
+) -> np.ndarray:
+    """Pull polyline points that are outside (or within ``clearance`` m of
+    the edge of) the ground-truth road mask back to ``clearance`` m inside,
+    then locally smooth the moved spans. Points already deeper than
+    ``clearance`` (true lane centres sit ~1.75 m in) are untouched."""
+    from gail_carla_tpu.scene import mask_geo
+
+    xy = np.asarray(xy, np.float64)
+    closest, sd, inward = mask_geo.boundary_project(geometry.bnd_ab, xy)
+    bad = sd < clearance
+    if not bad.any():
+        return xy
+    out = xy.copy()
+    out[bad] = closest[bad] + inward[bad] * clearance
+    # neighbour-average smoothing over moved points only (keeps anchors)
+    for _ in range(smooth_passes):
+        if len(out) < 3:
+            break
+        sm = out.copy()
+        sm[1:-1] = 0.25 * out[:-2] + 0.5 * out[1:-1] + 0.25 * out[2:]
+        out[bad] = sm[bad]
+    return out
+
+
+def repair_graph_to_mask(graph: LaneGraph, geometry,
+                         clearance: float = 1.0) -> LaneGraph:
+    """Repair every edge polyline of a reconstructed lane graph against the
+    H5 road mask (see ``repair_polyline``). Node positions are preserved
+    when still valid so graph connectivity is untouched."""
+    new_edges = []
+    for e in graph.edges:
+        pts = repair_polyline(e.pts, geometry, clearance)
+        new_edges.append(dataclasses.replace(e, pts=pts))
+    return LaneGraph(
+        nodes=graph.nodes, edges=new_edges, adjacency=graph.adjacency,
+        traffic_lights=graph.traffic_lights, stop_signs=graph.stop_signs,
+        lane_width=graph.lane_width,
+    )
+
+
+def repair_dense_route(dense: DenseRoute, geometry,
+                       clearance: float = 1.0) -> DenseRoute:
+    """Repair a task's dense route polyline and recompute the derived
+    yaw / arc-length / downsampled-plan arrays."""
+    xy = repair_polyline(dense.xy, geometry, clearance)
+    d = np.diff(xy, axis=0)
+    yaw_seg = np.arctan2(d[:, 1], d[:, 0])
+    yaw = (
+        np.concatenate([yaw_seg, yaw_seg[-1:]])
+        if len(yaw_seg) else np.zeros(1)
+    )
+    s = np.concatenate([[0.0], np.cumsum(np.linalg.norm(d, axis=1))])
+    plan_idx = _downsample(xy, dense.cmd, sample_factor=50.0)
+    return DenseRoute(
+        xy=xy, yaw=yaw, cmd=dense.cmd, s=s,
+        plan_xy=xy[plan_idx], plan_cmd=dense.cmd[plan_idx],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scene assembly
 # ---------------------------------------------------------------------------
 
@@ -508,14 +584,21 @@ def make_town_scene(
 
     key = (town, route_file, root, route_pts_pad, n_patrols)
     if key not in _TOWN_SCENE_CACHE:
+        from gail_carla_tpu.scene.h5_maps import load_town_geometry
+
         bench = benchmark_routes(town, route_file, root)
         if not bench:
             raise ValueError(f"no {town} routes in {route_file}")
         evidence = collect_town_routes(town, root)
         graph = build_town_graph(evidence)
+        geometry = load_town_geometry(town)
+        if geometry is not None:
+            graph = repair_graph_to_mask(graph, geometry)
         dense = [densify_route(r.waypoints) for r in bench]
+        if geometry is not None:
+            dense = [repair_dense_route(d, geometry) for d in dense]
         _TOWN_SCENE_CACHE[key] = build_scene(
             graph, bench, dense=dense, route_pts_pad=route_pts_pad,
-            n_patrols=n_patrols,
+            n_patrols=n_patrols, geometry=geometry,
         )
     return _TOWN_SCENE_CACHE[key]

@@ -36,12 +36,13 @@ class DynHits(NamedTuple):
 
 
 def static_collision(scene, params: VehicleParams, ego: VehicleState,
-                     road_segs):
+                     bnd_segs):
     """Fires when the vehicle has fully left the drivable surface (all four
-    bounding-box corners farther from every road capsule than the lane
-    half-width — same geometry the BEV renderer uses). ``road_segs`` comes
-    from the step's single shared fetch_cell."""
-    from gail_carla_tpu.ops.bev import capsule_min_dist2
+    bounding-box corners outside the town's road mask — the same oriented
+    boundary geometry the BEV road channel renders, so physics and pixels
+    agree by construction). ``bnd_segs`` comes from the step's single
+    shared fetch_bnd_cell."""
+    from gail_carla_tpu.ops.bev import boundary_inside
 
     c, s = jnp.cos(ego.yaw), jnp.sin(ego.yaw)
     f = jnp.stack([c, s]) * params.half_length
@@ -49,8 +50,7 @@ def static_collision(scene, params: VehicleParams, ego: VehicleState,
     corners = ego.xy[None, :] + jnp.stack(
         [f + r, f - r, -f + r, -f - r], axis=0
     )
-    d2 = capsule_min_dist2(corners, road_segs)
-    on_road = d2 <= scene.half_lane**2
+    on_road = boundary_inside(corners, bnd_segs, scene.bnd_dmax)
     return ~jnp.any(on_road)
 
 

@@ -12,13 +12,15 @@ zombie_vehicle/zombie_vehicle_handler.py:8-83``); walkers get a
   for red lights; the patrol loops by teleporting back to its start (the
   reference also teleports zombies, zombie_vehicle.py:4-14);
 - walkers: sidewalk following. CARLA's navmesh keeps crowds on sidewalks
-  (``controller.ai.walker``); the TPU-native equivalent walks each walker
-  along a lane polyline at a signed lateral offset of ±(half_lane +
-  SIDEWALK_OFFSET) — i.e. the pavement band just off the road edge — and
-  occasionally starts a road crossing by flipping the target offset's sign,
-  lerping across at walking speed. (On multi-lane roads the offset is
-  relative to the walker's chosen lane, so the band can overlap an adjacent
-  lane — a strictly-more-hazardous approximation, noted per VERDICT #7.)
+  (``controller.ai.walker``). For imported reference towns the scene
+  carries REAL sidewalk centrelines (skeletons of the H5 ``sidewalk``
+  layer, scene.walk_*), and each walker follows one at offset 0 —
+  crossings lerp the offset to scene.walk_cross[path] (the signed lateral
+  displacement across the adjacent road, precomputed from the road
+  boundary). Procedural towns have no sidewalk masks, so the walker
+  follows a lane polyline at ±(half_lane + SIDEWALK_OFFSET) — the
+  pavement band just off the road edge — with crossings flipping the
+  band's sign.
 
 Everything is vmapped over the K NPCs inside each (already-vmapped) world.
 """
@@ -151,34 +153,37 @@ def reset_traffic(
         )
 
     if W > 0:
-        P = scene.patrol_xy.shape[0]
+        wxy, wn, on_sidewalk = _walker_arrays(scene)
+        P = wxy.shape[0]
         pat = jax.random.randint(k_wx, (W,), 0, P)
         frac = jax.random.uniform(k_wg, (W,))
 
         def start(p, f):
-            n = scene.patrol_n[p]
+            n = wn[p]
             h = jnp.clip(
                 (f * (n.astype(jnp.float32) - 2.0)).astype(jnp.int32),
                 0, n - 2,
             )
-            win = jax.lax.dynamic_slice(
-                scene.patrol_xy, (p, h, 0), (1, 2, 2)
-            )[0]
+            win = jax.lax.dynamic_slice(wxy, (p, h, 0), (1, 2, 2))[0]
             return h, win[0], win[1]
 
         head, c0, c1 = jax.vmap(start)(pat, frac)
         seg = c1 - c0
         tang = seg / (jnp.linalg.norm(seg, axis=-1, keepdims=True) + 1e-6)
         normal = jnp.stack([-tang[:, 1], tang[:, 0]], axis=-1)
-        # right-hand traffic (town.py:12): the kerbside pavement is to the
-        # RIGHT (+normal) of the lane direction; the opposite pavement sits
-        # past the oncoming lane at -(3*half_lane + SIDEWALK_OFFSET)
         k_side, k_speed = jax.random.split(k_ws)
-        near = scene.half_lane + SIDEWALK_OFFSET
-        far = -(3.0 * scene.half_lane + SIDEWALK_OFFSET)
-        off = jnp.where(
-            jax.random.uniform(k_side, (W,)) < 0.5, near, far
-        )
+        if on_sidewalk:
+            # real pavement centrelines: walk them at offset 0
+            off = jnp.zeros((W,))
+        else:
+            # right-hand traffic (town.py:12): the kerbside pavement is to
+            # the RIGHT (+normal) of the lane direction; the opposite
+            # pavement sits past the oncoming lane
+            near = scene.half_lane + SIDEWALK_OFFSET
+            far = -(3.0 * scene.half_lane + SIDEWALK_OFFSET)
+            off = jnp.where(
+                jax.random.uniform(k_side, (W,)) < 0.5, near, far
+            )
         t = t.replace(
             walker_xy=c0 + off[:, None] * normal,
             walker_yaw=jnp.arctan2(tang[:, 1], tang[:, 0]),
@@ -191,6 +196,15 @@ def reset_traffic(
             ),
         )
     return t
+
+
+def _walker_arrays(scene: StaticScene):
+    """(polyline_xy, polyline_n, on_sidewalk): real sidewalk centrelines
+    when the scene has them (H5-imported towns), else the vehicle patrol
+    polylines (procedural towns use lateral pavement bands)."""
+    if scene.walk_xy is not None:
+        return scene.walk_xy, scene.walk_n, True
+    return scene.patrol_xy, scene.patrol_n, False
 
 
 def _advance_patrol(scene, patrol, head, xy, window: int = 6):
@@ -339,12 +353,12 @@ def step_traffic(
 
     if W > 0:
         # sidewalk following: chase the next polyline point displaced by the
-        # current lateral offset; flipping walker_off_t's sign starts a road
-        # crossing (the offset lerps across at walking speed).
+        # current lateral offset; a crossing retargets the offset across the
+        # road (the offset lerps over at walking speed).
+        wxy, wn, on_sidewalk = _walker_arrays(scene)
+
         def wp_rows(p, h):
-            win = jax.lax.dynamic_slice(
-                scene.patrol_xy, (p, h, 0), (1, 2, 2)
-            )[0]
+            win = jax.lax.dynamic_slice(wxy, (p, h, 0), (1, 2, 2))[0]
             return win[0], win[1]
 
         c0, c1 = jax.vmap(wp_rows)(
@@ -357,12 +371,18 @@ def step_traffic(
         # a crossing toggles the target between the kerbside pavement and
         # the one across the road (both off-road bands; the walker is ON
         # the road only while traversing)
-        near = scene.half_lane + SIDEWALK_OFFSET
-        far = -(3.0 * scene.half_lane + SIDEWALK_OFFSET)
         flip = jax.random.uniform(rng, (W,)) < cfg.dt / CROSS_EVERY_S
-        off_t = jnp.where(
-            flip, near + far - traffic.walker_off_t, traffic.walker_off_t
-        )
+        if on_sidewalk:
+            other = scene.walk_cross[traffic.walker_patrol]
+            flip_target = jnp.where(
+                jnp.abs(traffic.walker_off_t) < 0.5 * jnp.abs(other),
+                other, 0.0,
+            )
+        else:
+            near = scene.half_lane + SIDEWALK_OFFSET
+            far = -(3.0 * scene.half_lane + SIDEWALK_OFFSET)
+            flip_target = near + far - traffic.walker_off_t
+        off_t = jnp.where(flip, flip_target, traffic.walker_off_t)
         step_len = traffic.walker_speed * cfg.dt
         off = traffic.walker_off + jnp.clip(
             off_t - traffic.walker_off, -step_len, step_len
@@ -375,7 +395,7 @@ def step_traffic(
         new_xy = traffic.walker_xy + step
         yaw = jnp.arctan2(d[:, 1], d[:, 0])
 
-        n = scene.patrol_n[traffic.walker_patrol]
+        n = wn[traffic.walker_patrol]
         head = jnp.where(
             dist < 1.0,
             traffic.walker_head + 1,

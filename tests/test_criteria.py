@@ -117,7 +117,7 @@ def test_outside_and_wrong_lane(scene):
     rid = jnp.zeros((), jnp.int32)
     xy = scene.route_xy[rid, 5]
     yaw = scene.route_yaw[rid, 5]
-    road, flag, _, _ = fetch_cell(scene, xy)
+    road, flag, _, _, _ = fetch_cell(scene, xy)
 
     ego = VehicleState(xy=xy, yaw=yaw, speed=jnp.asarray(5.0))
     outside, wrong = crit.outside_route_lane(scene, ego, road, flag)
@@ -136,7 +136,7 @@ def test_outside_and_wrong_lane(scene):
     ego_off = VehicleState(
         xy=jnp.asarray(off), yaw=yaw, speed=jnp.asarray(5.0)
     )
-    road2, flag2, _, _ = fetch_cell(scene, jnp.asarray(off))
+    road2, flag2, _, _, _ = fetch_cell(scene, jnp.asarray(off))
     outside, wrong = crit.outside_route_lane(scene, ego_off, road2, flag2)
     assert bool(outside)
 

@@ -1,0 +1,197 @@
+"""Ground-truth fidelity: reconstructed towns vs the reference's shipped H5
+mask packs (VERDICT r2 lead item).
+
+- mask_geo primitives: oriented marching-squares contours reproduce
+  arbitrary synthetic masks exactly at pixel centres (incl. holes);
+- Town01: >= 99% of lane-graph and dense-route points lie inside the H5
+  road mask after repair; every synthesized traffic-light stop line sits
+  on the road;
+- Town01 BEV: per-channel IoU of our render vs a host-side warp of the
+  actual H5 textures (the reference's chauffeurnet.py:142-153 pipeline).
+"""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gail_carla_tpu.scene import mask_geo
+
+H5_DIR = "/root/reference/carla_gym/core/obs_manager/birdview/maps"
+needs_h5 = pytest.mark.skipif(
+    not os.path.isdir(H5_DIR), reason="reference H5 packs not present"
+)
+
+
+# ---------------------------------------------------------------------------
+# mask_geo primitives
+# ---------------------------------------------------------------------------
+
+def _random_mask(seed, shape=(96, 96)):
+    rng = np.random.default_rng(seed)
+    m = np.zeros(shape, bool)
+    for _ in range(6):
+        cy, cx = rng.integers(10, shape[0] - 10, 2)
+        r = rng.integers(4, 18)
+        yy, xx = np.mgrid[: shape[0], : shape[1]]
+        m |= (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+    # punch a hole
+    cy, cx = rng.integers(20, shape[0] - 20, 2)
+    yy, xx = np.mgrid[: shape[0], : shape[1]]
+    m &= ~((yy - cy) ** 2 + (xx - cx) ** 2 <= 36)
+    return m
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_contour_inside_test_exact(seed):
+    m = _random_mask(seed)
+    off = np.array([3.0, -7.0])
+    edges, dmax = mask_geo.mask_boundary_edges(m, off, 2.0, max_err_px=0.3)
+    ys, xs = np.mgrid[: m.shape[0], : m.shape[1]]
+    pts = np.stack([xs.ravel(), ys.ravel()], 1) / 2.0 + off[None, :]
+    inside = mask_geo.points_inside(edges, dmax, pts)
+    assert (inside == m.ravel()).all()
+
+
+def test_contour_orientation_interior_positive():
+    # a simple filled rectangle: cross(b-a, p-a) must be > 0 for the centre
+    m = np.zeros((20, 20), bool)
+    m[5:15, 4:16] = True
+    edges, dmax = mask_geo.mask_boundary_edges(
+        m, np.zeros(2), 1.0, max_err_px=0.2
+    )
+    sd = mask_geo.boundary_signed_distance(edges, np.array([[10.0, 10.0]]))
+    assert sd[0] > 0
+    sd_out = mask_geo.boundary_signed_distance(edges, np.array([[1.0, 1.0]]))
+    assert sd_out[0] < 0
+
+
+def test_stroke_capsules_cover_thin_lines():
+    m = np.zeros((64, 64), bool)
+    m[10, 5:60] = True            # 1-px horizontal stroke
+    m[20:55, 30] = True           # 1-px vertical stroke
+    ab, val, hw = mask_geo.mask_stroke_capsules(
+        m, np.zeros(2), 1.0, 255.0
+    )
+    assert len(ab) >= 2
+    ys, xs = np.nonzero(m)
+    pts = np.stack([xs, ys], 1).astype(float)
+    from numpy.linalg import norm
+
+    a = ab[None, :, :2]
+    d = (ab[:, 2:] - ab[:, :2])[None]
+    t = np.clip(
+        np.sum((pts[:, None, :] - a) * d, -1)
+        / (np.sum(d * d, -1) + 1e-12),
+        0, 1,
+    )
+    dist = norm(pts[:, None, :] - (a + t[..., None] * d), axis=-1)
+    # all stroke pixels within a pixel of some capsule
+    assert (dist.min(axis=1) <= 1.0).mean() > 0.97
+
+
+# ---------------------------------------------------------------------------
+# Town fidelity (reference H5 ground truth)
+# ---------------------------------------------------------------------------
+
+@needs_h5
+def test_town01_graph_and_routes_inside_road_mask():
+    from gail_carla_tpu.scene.h5_maps import load_town_geometry
+    from gail_carla_tpu.scene.town_import import (
+        benchmark_routes, build_town_graph, collect_town_routes,
+        densify_route, repair_dense_route, repair_graph_to_mask,
+    )
+
+    geo = load_town_geometry("Town01")
+    graph = repair_graph_to_mask(
+        build_town_graph(collect_town_routes("Town01")), geo
+    )
+    pts = np.concatenate([e.pts for e in graph.edges], axis=0)
+    sd = mask_geo.boundary_signed_distance(geo.bnd_ab, pts)
+    assert (sd > 0).mean() >= 0.99, f"graph on-road {(sd > 0).mean():.4f}"
+
+    for r in benchmark_routes("Town01")[:3]:
+        d = repair_dense_route(densify_route(r.waypoints), geo)
+        sd = mask_geo.boundary_signed_distance(geo.bnd_ab, d.xy)
+        assert (sd > 0).mean() >= 0.99
+
+    # every synthesized stop line's centre sits on the road
+    for t in graph.traffic_lights:
+        c = 0.5 * (t.stop_a + t.stop_b)
+        sd = mask_geo.boundary_signed_distance(geo.bnd_ab, c[None, :])
+        assert sd[0] > -0.5, f"stop line off road by {-sd[0]:.2f} m"
+
+
+@needs_h5
+def test_town01_bev_matches_reference_pixels():
+    import h5py
+
+    from gail_carla_tpu.config import EnvConfig
+    from gail_carla_tpu.ops.bev import pixel_world_coords, render_bev
+    from gail_carla_tpu.scene.town_import import make_town_scene
+
+    sc = make_town_scene("Town01")
+    cfg = EnvConfig()
+    with h5py.File(os.path.join(H5_DIR, "Town01.h5"), "r") as f:
+        off = np.asarray(f.attrs["world_offset_in_meters"], np.float64)
+        road_tex = np.asarray(f["road"])
+        lane_tex = np.asarray(f["lane_marking_all"])
+
+    def host_warp(tex, xy, yaw):
+        px = np.asarray(
+            pixel_world_coords(
+                cfg, jnp.asarray(xy, jnp.float32),
+                jnp.asarray(yaw, jnp.float32),
+            )
+        )
+        sx = np.round((px[:, 0] - off[0]) * 5.0).astype(int)
+        sy = np.round((px[:, 1] - off[1]) * 5.0).astype(int)
+        ok = (
+            (sx >= 0) & (sx < tex.shape[1])
+            & (sy >= 0) & (sy < tex.shape[0])
+        )
+        out = np.zeros(px.shape[0], tex.dtype)
+        out[ok] = tex[sy[ok], sx[ok]]
+        return out.reshape(cfg.bev_width, cfg.bev_width)
+
+    road_ious, lane_ious = [], []
+    for rid in range(3):
+        n = int(sc.route_n[rid])
+        for h in (30, min(300, n - 10)):
+            xy = np.asarray(sc.route_xy[rid, h])
+            yaw = float(sc.route_yaw[rid, h])
+            img = np.asarray(
+                render_bev(
+                    sc, cfg, jnp.asarray(xy, jnp.float32),
+                    jnp.asarray(yaw, jnp.float32),
+                    jnp.int32(rid), jnp.int32(h),
+                )
+            )
+            ref = host_warp(road_tex, xy, yaw) > 0
+            ours = img[0] > 0.5
+            road_ious.append(
+                (ref & ours).sum() / max((ref | ours).sum(), 1)
+            )
+            ref_l = host_warp(lane_tex, xy, yaw) > 0
+            ours_l = img[2] > 0
+            lane_ious.append(
+                (ref_l & ours_l).sum() / max((ref_l | ours_l).sum(), 1)
+            )
+    assert np.mean(road_ious) >= 0.995, road_ious
+    assert np.min(road_ious) >= 0.99, road_ious
+    assert np.mean(lane_ious) >= 0.90, lane_ious
+
+
+@needs_h5
+def test_town_geometry_all_towns_load():
+    from gail_carla_tpu.scene.h5_maps import (
+        available_towns, load_town_geometry,
+    )
+
+    towns = available_towns()
+    assert len(towns) == 6
+    for t in towns:
+        g = load_town_geometry(t)
+        assert len(g.bnd_ab) > 100
+        assert g.bnd_dmax > 3.0
+        assert len(g.lane_ab) > 50
