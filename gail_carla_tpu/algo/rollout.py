@@ -10,6 +10,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from gail_carla_tpu.algo import buffers as buffers_mod
 from gail_carla_tpu.algo.buffers import Rollout
 from gail_carla_tpu.config import EnvConfig
 from gail_carla_tpu.models import policy as policy_mod
@@ -67,12 +68,9 @@ def collect_rollout(
             "completed": out.info["route_completed"],
         }
         if store_obs:
-            # image obs quantize to u8 (lossless for mask values);
-            # state vectors stay float
-            emit["obs"] = (
-                obs if cfg.obs_mode == "state"
-                else (obs * 255.0).astype(jnp.uint8)
-            )
+            # image obs bit-pack to 1 byte/pixel (lossless round-trip —
+            # buffers.pack_bev_obs); state vectors stay float
+            emit["obs"] = buffers_mod.store_encode(cfg, obs)
         return (st2, out.metrics, out.render), emit
 
     keys = jax.random.split(rng, n_steps)
@@ -98,10 +96,7 @@ def collect_rollout(
     )
     obs_all = None
     if store_obs:
-        obs_f_store = (
-            obs_f if cfg.obs_mode == "state"
-            else (obs_f * 255.0).astype(jnp.uint8)
-        )
+        obs_f_store = buffers_mod.store_encode(cfg, obs_f)
         obs_all = jnp.concatenate([tr["obs"], obs_f_store[None]], axis=0)
 
     rollout = Rollout(

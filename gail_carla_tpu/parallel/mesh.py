@@ -35,8 +35,11 @@ class ShardedWDGAILLearner(WDGAILLearner):
     Per-device semantics: each device owns n_envs/D worlds, collects its own
     rollout slice, draws minibatches from its local buffer, and contributes
     pmean'd gradients — every replica applies the identical optimizer step.
-    Expert buffers are replicated (they are read-only and small relative to
-    HBM; sharding them is a future option for giant demo sets).
+    Expert buffers SHARD along the demo axis (``shard_expert``, default on):
+    each device holds size/D transitions and draws disc/BC minibatches from
+    its local shard — the per-host dataloader semantics of the reference's
+    two-machine setup (SURVEY §5), and 1/D the HBM of the round-2
+    replicated layout (which capped the minibatch size, RESULTS.md).
     """
 
     AXIS = "dp"
@@ -51,6 +54,7 @@ class ShardedWDGAILLearner(WDGAILLearner):
         expert_val: Optional[ExpertBuffer] = None,
         store_obs: bool = True,
         mesh: Optional[Mesh] = None,
+        shard_expert: bool = True,
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
         n_dev = self.mesh.devices.size
@@ -58,10 +62,50 @@ class ShardedWDGAILLearner(WDGAILLearner):
             raise ValueError(
                 f"n_envs={tcfg.n_envs} must divide over {n_dev} devices"
             )
+
+        def _trim(buf):
+            # demo rows repeat cyclically (build_expert_buffer), so
+            # trimming to a device multiple loses only duplicates
+            m = (buf.size // n_dev) * n_dev
+            return jax.tree.map(lambda a: a[:m], buf)
+
+        self.shard_expert = bool(
+            shard_expert and expert is not None
+            and expert.size >= n_dev and tcfg.algo != "ppo"
+        )
+        if self.shard_expert:
+            expert = _trim(expert)
+            if expert_val is not None and expert_val.size >= n_dev:
+                expert_val = _trim(expert_val)
+            else:
+                expert_val = expert
         super().__init__(
             scene, env_cfg, model_cfg, tcfg, expert, expert_val,
             store_obs=store_obs, axis_name=self.AXIS, jit_update=False,
         )
+        if self.shard_expert:
+            # place the shards now: each device holds size/D transitions
+            # (jit would otherwise reshard at every dispatch)
+            sh = NamedSharding(self.mesh, P(self.AXIS))
+            self.expert = jax.tree.map(
+                lambda a: jax.device_put(a, sh), self.expert
+            )
+            self.expert_val = jax.tree.map(
+                lambda a: jax.device_put(a, sh), self.expert_val
+            )
+            # the disc LR schedule counts optimizer steps per update;
+            # with a sharded buffer each device runs min(size/D, ...)
+            # minibatches, so rebuild the optimizer with the local count
+            from gail_carla_tpu.algo import wdgail as wdgail_mod
+
+            local = self.expert.size // n_dev
+            disc_mb = tcfg.gail_epoch * max(
+                min(local, tcfg.steps_per_env * tcfg.n_envs // n_dev)
+                // tcfg.gail_batch_size, 1
+            )
+            self.disc_optimizer = wdgail_mod.make_disc_optimizer(
+                tcfg, mb_per_update=disc_mb
+            )
 
         # Per-leaf specs: env-batched leaves shard on dp, everything else
         # (params, optimizer state, scalars) replicates.
@@ -117,10 +161,18 @@ class ShardedWDGAILLearner(WDGAILLearner):
         n_epochs = wdgail_mod.warmup_epochs(self.tcfg, i_update)
         if self._compiled is None:
             spec = self._state_spec_fn(state)
+            e_spec = (
+                jax.tree.map(lambda _: P(self.AXIS), self.expert)
+                if self.shard_expert else P()
+            )
+            ev_spec = (
+                jax.tree.map(lambda _: P(self.AXIS), self.expert_val)
+                if self.shard_expert else P()
+            )
             shmapped = jax.shard_map(
                 self._sharded_update,
                 mesh=self.mesh,
-                in_specs=(spec, P(), P(), P()),  # experts replicated
+                in_specs=(spec, P(), e_spec, ev_spec),
                 out_specs=(spec, P()),
                 check_vma=False,
             )

@@ -6,9 +6,12 @@ discriminator + relabel + GAE + PPO) at scale. This tool measures it and
 projects wall-clock to the reference's 10 M env-step budget
 (params_variable.json:4).
 
-At 4096 envs the rollout obs CANNOT be materialised (65k x 6 x 192^2 u8
-~ 14.5 GB), so the learner runs in rematerialisation mode (store_obs=False:
-minibatches re-render from RenderState — algo/buffers.py docstring).
+Since round 3 the rollout obs are BIT-PACKED to one byte per pixel
+(buffers.pack_bev_obs), so even 4096 envs x 16 steps of bev6 frames fit in
+~2.6 GB HBM and each frame renders exactly once per update (the r2 bench
+re-rendered the same 65k frames 4x across PPO epochs — ~41% of the update,
+RESULTS.md). ``--no-store-obs`` restores the rematerialisation mode for
+comparison.
 
 Usage:
   python -m gail_carla_tpu.tools.wdgail_scale_bench \
@@ -116,6 +119,9 @@ def main(argv=None):
     p.add_argument("--phases", action="store_true",
                    help="additionally time each pipeline phase with its "
                         "own jit (rollout / disc / relabel / GAE / PPO)")
+    p.add_argument("--no-store-obs", action="store_true",
+                   help="re-render obs per minibatch instead of storing "
+                        "bit-packed frames (the pre-r3 behaviour)")
     args = p.parse_args(argv)
 
     import jax
@@ -149,7 +155,8 @@ def main(argv=None):
     print(f"expert buffer: {expert.size}", file=sys.stderr)
 
     learner = WDGAILLearner(
-        scene, env_cfg, ModelConfig(), tcfg, expert, store_obs=False
+        scene, env_cfg, ModelConfig(), tcfg, expert,
+        store_obs=not args.no_store_obs,
     )
     state = learner.init_state()
 

@@ -76,6 +76,102 @@ def test_discriminator_reward_positive():
     assert (np.asarray(r) > 0).all()  # softplus is strictly positive
 
 
+def test_packed_obs_roundtrip_bitexact():
+    """pack_bev_obs/unpack_bev_obs reproduce the renderer's floats exactly
+    for both BEV modes — the invariant that makes 1-byte/pixel storage a
+    free lunch (buffers.py docstring)."""
+    from gail_carla_tpu.algo.buffers import pack_bev_obs, unpack_bev_obs
+    from gail_carla_tpu.ops.bev import render_bev_batch
+    from gail_carla_tpu.ops.bev6 import render_bev6_batch
+    from gail_carla_tpu.scene.scene import make_benchmark_scene
+    from gail_carla_tpu.sim.env import reset_batch, step_batch
+
+    scene = make_benchmark_scene(n_routes=2, nx=3, ny=3, block=80.0,
+                                 min_length=150.0)
+    cfg6 = EnvConfig(train=False, obs_mode="bev6", n_npc_vehicles=3,
+                     n_npc_walkers=2)
+    states, _, render = reset_batch(
+        scene, cfg6, jax.random.PRNGKey(0),
+        jnp.zeros((2,), jnp.int32),
+    )
+    for _ in range(12):
+        states, out = step_batch(
+            scene, cfg6, states, jnp.tile(jnp.array([0.0, 0.6]), (2, 1))
+        )
+
+    obs6 = render_bev6_batch(scene, cfg6, out.render)
+    packed = pack_bev_obs(cfg6, obs6)
+    assert packed.dtype == jnp.uint8 and packed.shape == obs6.shape[:1] + \
+        obs6.shape[2:]
+    got = np.asarray(unpack_bev_obs(cfg6, packed))
+    ref = np.asarray(obs6)
+    # bitwise: same discrete levels AND the same f32 encodings of them
+    assert got.tobytes() == ref.tobytes()
+
+    # exhaustive level coverage: every combination of channel levels,
+    # encoded exactly as the renderers encode them (value * INV_255)
+    from gail_carla_tpu.ops.bev import INV_255
+    lane_lv = jnp.asarray([0.0, 120.0, 255.0]) * INV_255
+    sig_lv = jnp.asarray([0.0, 80.0, 170.0, 255.0]) * INV_255
+    grids = jnp.meshgrid(
+        jnp.arange(2.0), jnp.arange(2.0), lane_lv, sig_lv,
+        jnp.arange(2.0), jnp.arange(2.0), indexing="ij",
+    )
+    all_combos = jnp.stack(
+        [g.reshape(-1) for g in grids], axis=0
+    ).reshape(1, 6, 12, 16)  # (1, C, 12, 16) covers all 192 codes
+    rt = unpack_bev_obs(cfg6, pack_bev_obs(cfg6, all_combos))
+    assert np.asarray(rt).tobytes() == np.asarray(all_combos).tobytes()
+
+    cfg3 = EnvConfig(train=False)
+    obs3 = render_bev_batch(scene, cfg3, out.render)
+    got3 = np.asarray(unpack_bev_obs(cfg3, pack_bev_obs(cfg3, obs3)))
+    assert got3.tobytes() == np.asarray(obs3).tobytes()
+    assert set(np.unique(np.asarray(obs3[:, 2]) * 255).astype(int)) <= \
+        {0, 119, 120, 255}
+
+
+def test_stored_obs_matches_rematerialised_fetch():
+    """fetch_rollout_obs from packed storage == re-rendering from
+    RenderState for the same minibatch indices (what disc/PPO consume)."""
+    from gail_carla_tpu.algo.buffers import fetch_rollout_obs
+    from gail_carla_tpu.algo.rollout import collect_rollout
+    from gail_carla_tpu.models.policy import init_policy
+    from gail_carla_tpu.scene.scene import make_benchmark_scene
+    from gail_carla_tpu.sim.env import reset_batch
+
+    scene = make_benchmark_scene(n_routes=2, nx=3, ny=3, block=80.0,
+                                 min_length=150.0)
+    cfg = EnvConfig(train=True, obs_mode="bev6", bev_width=64,
+                    n_npc_vehicles=2, n_npc_walkers=2)
+    net, params = init_policy(
+        jax.random.PRNGKey(0),
+        ModelConfig(conv_channels=(8, 16), hidden_size=32, head_size=16,
+                    dtype="float32"),
+        (6, 64, 64),
+    )
+    states, metrics, render = reset_batch(
+        scene, cfg, jax.random.PRNGKey(1), jnp.zeros((3,), jnp.int32)
+    )
+    _, _, _, rollout, _ = collect_rollout(
+        scene, cfg, net, params, states, metrics, render,
+        jax.random.PRNGKey(2), n_steps=8, store_obs=True,
+    )
+    assert rollout.obs.dtype == jnp.uint8 and rollout.obs.ndim == 4
+
+    t_idx = jnp.asarray([0, 3, 7, 5], jnp.int32)
+    n_idx = jnp.asarray([0, 2, 1, 0], jnp.int32)
+    stored = np.asarray(
+        fetch_rollout_obs(scene, cfg, rollout, t_idx, n_idx)
+    )
+    remat = np.asarray(
+        fetch_rollout_obs(
+            scene, cfg, rollout.replace(obs=None), t_idx, n_idx
+        )
+    )
+    assert stored.tobytes() == remat.tobytes()
+
+
 @pytest.mark.slow
 def test_wdgail_update_end_to_end():
     """One full fused WDGAIL update at toy scale: rollout + disc (warm-up
