@@ -25,6 +25,7 @@ from gail_carla_tpu.models.policy import init_policy
 from gail_carla_tpu.ops.gae import compute_returns
 from gail_carla_tpu.scene.scene import StaticScene
 from gail_carla_tpu.sim.env import reset_batch
+from gail_carla_tpu.utils import running_mean_std as rms_mod
 
 
 @struct.dataclass
@@ -39,6 +40,9 @@ class LearnerState:
     gail_gamma: jnp.ndarray      # () f32, BCGAIL weight, decays per update
     rng: jax.Array
     update_i: jnp.ndarray        # () i32
+    reward_rms: object = None    # RunningMeanStd of the DISCOUNTED gail
+                                 # return (tcfg.gail_norm_reward)
+    returns_acc: object = None   # (N,) per-env discounted-return carry
 
 
 def _dummy_expert(env_cfg: EnvConfig) -> ExpertBuffer:
@@ -115,7 +119,13 @@ class WDGAILLearner:
             k_d, model_cfg, obs_shape
         )
         self.policy_optimizer = ppo_mod.make_policy_optimizer(tcfg)
-        self.disc_optimizer = wdgail_mod.make_disc_optimizer(tcfg)
+        disc_mb = tcfg.gail_epoch * max(
+            min(self.expert.size, tcfg.steps_per_env * tcfg.n_envs)
+            // tcfg.gail_batch_size, 1
+        )
+        self.disc_optimizer = wdgail_mod.make_disc_optimizer(
+            tcfg, mb_per_update=disc_mb
+        )
         self._policy_params0 = policy_params
         self._disc_params0 = disc_params
 
@@ -150,6 +160,8 @@ class WDGAILLearner:
             gail_gamma=jnp.asarray(tcfg.gail_gamma, jnp.float32),
             rng=rng,
             update_i=jnp.zeros((), jnp.int32),
+            reward_rms=rms_mod.make_rms(),
+            returns_acc=jnp.zeros((route_ids.shape[0],), jnp.float32),
         )
 
     def _update(self, state: LearnerState, n_disc_epochs,
@@ -174,6 +186,8 @@ class WDGAILLearner:
             # the env reward (gail_coef 0 / env_coef 1 flips the mix from
             # tools/storage.py:41-42).
             disc_params, disc_opt = state.disc_params, state.disc_opt
+            reward_rms = state.reward_rms
+            returns_acc = state.returns_acc
             z = jnp.zeros(())
             disc_aux = {}
             pre_wd = pre_e = pre_p = post_wd = post_e = post_p = z
@@ -200,9 +214,37 @@ class WDGAILLearner:
                 expert_val, k_val2,
             )
 
-            gail_rewards = wdgail_mod.relabel_rewards(
+            gail_raw = wdgail_mod.relabel_rewards(
                 scene, env_cfg, self.disc_net, disc_params, rollout
-            ) + tcfg.gail_reward_shift   # survival bias (config.py)
+            )
+            reward_rms = state.reward_rms
+            returns_acc = state.returns_acc
+            if tcfg.gail_norm_reward:
+                # VecNormalize-style return normalisation — what the
+                # reference's dormant ret_rms (algo/wdgail.py:38) was
+                # for: track the DISCOUNTED gail return per env, scale
+                # rewards by its running std (scale-only, so softplus's
+                # positivity/survival bias survives; normalising by the
+                # raw reward std instead explodes when D barely
+                # separates). Moments pmean'd across the mesh so
+                # replicated state stays bitwise equal.
+                def ret_body(acc, inp):
+                    r, m_next = inp
+                    acc2 = acc * tcfg.gamma + r
+                    return acc2 * m_next, acc2
+
+                returns_acc, rets = jax.lax.scan(
+                    ret_body, returns_acc,
+                    (gail_raw, rollout.masks[1:]),
+                )
+                reward_rms = rms_mod.update_rms(
+                    reward_rms, rets.reshape(-1),
+                    axis_name=self.axis_name,
+                )
+                gail_raw = jnp.clip(
+                    gail_raw / (reward_rms.std + 1e-8), -10.0, 10.0
+                )
+            gail_rewards = gail_raw + tcfg.gail_reward_shift
             rollout = rollout.replace(gail_rewards=gail_rewards)
 
             returns = compute_returns(
@@ -235,6 +277,8 @@ class WDGAILLearner:
             gail_gamma=state.gail_gamma * tcfg.decay,  # ppo.py:136-137
             rng=rng,
             update_i=state.update_i + 1,
+            reward_rms=reward_rms,
+            returns_acc=returns_acc,
         )
         metrics_out = dict(ep_stats)
         metrics_out.update({f"disc/{k}": v for k, v in disc_aux.items()})
@@ -255,6 +299,7 @@ class WDGAILLearner:
                     jnp.asarray(self.model_cfg.logstd[1])
                 ),
                 "gail_reward_mean": jnp.mean(gail_rewards),
+                "disc/reward_rms_std": reward_rms.std,
             }
         )
         return new_state, metrics_out

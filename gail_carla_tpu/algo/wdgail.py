@@ -25,11 +25,27 @@ from gail_carla_tpu.config import EnvConfig, TrainConfig
 from gail_carla_tpu.models import discriminator as disc_mod
 
 
-def make_disc_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+def make_disc_optimizer(
+    tcfg: TrainConfig, mb_per_update: int = 1
+) -> optax.GradientTransformation:
+    lr = tcfg.gail_lr
+    if tcfg.gail_use_linear_lr_decay:
+        # Same count->update mapping as the policy schedule
+        # (ppo.make_policy_optimizer): warm-up updates run extra epochs
+        # and advance the counter faster, slightly front-loading the
+        # decay — negligible over hundreds of updates.
+        steps = max(mb_per_update, 1)
+        n_updates = max(tcfg.n_updates, 1)
+
+        def lr(count):  # noqa: F811
+            i_update = count // steps
+            frac = 1.0 - i_update.astype(jnp.float32) / n_updates
+            return tcfg.gail_lr * jnp.maximum(frac, 0.0)
+
     return optax.chain(
         optax.clip_by_global_norm(tcfg.gail_max_grad_norm),
         optax.adam(
-            tcfg.gail_lr, b1=tcfg.gail_betas[0], b2=tcfg.gail_betas[1],
+            lr, b1=tcfg.gail_betas[0], b2=tcfg.gail_betas[1],
             eps=tcfg.gail_eps,
         ),
     )

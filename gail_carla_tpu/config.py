@@ -131,6 +131,19 @@ class TrainConfig:
     # step cost ~2.7 reward and the same run reached driving score 67
     # with <1 red light/km (AIRL's termination-bias lever).
     gail_reward_shift: float = 0.0
+    # --- WGAN stabilisers (round 3; VERDICT r2 weak #2) ---
+    # The reference builds a RunningMeanStd for disc rewards but never
+    # applies it (algo/wdgail.py:38 vs predict_reward) and trains the
+    # disc at a constant 2.5e-4 forever — measured consequence: the
+    # Town01 score oscillates in the 40-70 band after peaking (~82)
+    # instead of converging. Both fixes are opt-in to preserve parity.
+    gail_use_linear_lr_decay: bool = False   # disc LR decays linearly
+                                             # per update (TTUR-style
+                                             # late-training cool-down)
+    gail_norm_reward: bool = False           # scale softplus(D) by its
+                                             # running std before the
+                                             # shift (reward scale stops
+                                             # drifting as D sharpens)
     # bookkeeping
     eval_interval: int = 3
     log_interval: int = 1

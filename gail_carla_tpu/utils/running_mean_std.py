@@ -30,12 +30,25 @@ def make_rms(shape=()) -> RunningMeanStd:
     )
 
 
-def update_rms(rms: RunningMeanStd, batch: jnp.ndarray) -> RunningMeanStd:
+def update_rms(
+    rms: RunningMeanStd, batch: jnp.ndarray, axis_name=None
+) -> RunningMeanStd:
     """Chan et al. parallel update, exactly the reference's
-    update_from_moments."""
+    update_from_moments. With ``axis_name`` (shard_map data parallelism)
+    the batch moments are pmean'd first so every replica folds in the
+    GLOBAL batch — the replicated-state invariant (parallel/mesh.py)
+    holds without a separate sync."""
+    import jax
+
     batch_mean = jnp.mean(batch, axis=0)
-    batch_var = jnp.var(batch, axis=0)
     batch_count = batch.shape[0]
+    if axis_name is not None:
+        sq_mean = jax.lax.pmean(jnp.mean(batch**2, axis=0), axis_name)
+        batch_mean = jax.lax.pmean(batch_mean, axis_name)
+        batch_var = sq_mean - batch_mean**2
+        batch_count = batch_count * jax.lax.psum(1, axis_name)
+    else:
+        batch_var = jnp.var(batch, axis=0)
 
     delta = batch_mean - rms.mean
     tot = rms.count + batch_count

@@ -58,6 +58,7 @@ def test_sharded_update_on_fake_mesh():
         n_envs=8, num_steps=8 * 16, mini_batch_size=8, ppo_epoch=1,
         gail_batch_size=8, gail_pre_epoch=1, gail_epoch=1, gail_thre=1,
         routes=(0, 1), bcgail=True, gail_gamma=0.1,
+        gail_norm_reward=True, gail_use_linear_lr_decay=True,
     )
 
     demos = generate_demos(
@@ -80,6 +81,13 @@ def test_sharded_update_on_fake_mesh():
     psh = jax.tree.leaves(state.policy_params)[0].sharding
     assert psh.spec == P()
 
+    # the expert buffer shards over the demo axis: 16 transitions per
+    # device, not 128 replicated (VERDICT r2 next-step #6)
+    assert learner.shard_expert
+    esh = learner.expert.actions.sharding
+    assert isinstance(esh, NamedSharding) and esh.spec == P("dp")
+    assert learner.expert.actions.addressable_shards[0].data.shape[0] == 16
+
     state, metrics = learner.update(state)
     assert int(state.update_i) == 1
     assert np.isfinite(float(metrics["ppo/action_loss"]))
@@ -98,6 +106,10 @@ def test_sharded_update_on_fake_mesh():
     assert _replicated_bitwise(state.policy_params)
     assert _replicated_bitwise(state.disc_params)
     assert _replicated_bitwise(state.policy_opt)
+    # reward RMS folds in pmean'd GLOBAL moments -> replicas bitwise equal,
+    # and the running var must have moved off its init (it saw rewards)
+    assert _replicated_bitwise(state.reward_rms)
+    assert float(state.reward_rms.count) > 1.0
 
     # red/green flip: inject divergence on one replica and show the
     # invariant check catches it — and that an update does NOT silently
