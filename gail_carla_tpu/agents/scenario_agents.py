@@ -1,22 +1,20 @@
 """Scenario-actor agents — ports of ``carla_gym/core/task_actor/
 scenario_actor/agents/``.
 
-``BasicAgent`` capability is `agents/autopilot.py` (the expert). This module
-adds the remaining scripted agent and the handler-equivalent for driving a
-set of scenario vehicles along task-defined routes each tick
-(``scenario_actor_handler.py:6-50``) — used by tasks that ship scripted
-adversary vehicles.
+``BasicAgent`` capability is `agents/autopilot.py` (the expert);
+``ConstantSpeedAgent`` is below. The handler that drives scenario vehicles
+along task routes each tick (``scenario_actor_handler.py:6-50``) lives in
+``sim/traffic.py``: the last ``cfg.n_scenario_actors`` NPC slots run the
+same LocalPlanner/PID stack on route-keyed ``scene.sa_patrol`` polylines
+(``reset_traffic``/``step_traffic``), so there is no separate handler
+object here.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import struct
 
-from gail_carla_tpu.agents.autopilot import local_planner_act
-from gail_carla_tpu.agents.controllers import (
-    AutopilotState, PIDState, pid_step,
-)
+from gail_carla_tpu.agents.controllers import PIDState, pid_step
 from gail_carla_tpu.sim.dynamics import VehicleState
 
 
@@ -44,27 +42,3 @@ def constant_speed_act(
         [jnp.zeros(()), jnp.clip(throttle, 0.0, 1.0)]
     )
     return ConstantSpeedState(speed_pid=pid), action
-
-
-@struct.dataclass
-class ScenarioActors:
-    """Batched scripted vehicles with their own routes — the
-    ScenarioActorHandler state."""
-
-    veh: VehicleState            # (A,)
-    route_id: jnp.ndarray        # (A,) rows into a route family
-    head: jnp.ndarray            # (A,)
-    ap: AutopilotState           # (A,)
-    target_speed: jnp.ndarray    # (A,)
-
-
-def scenario_tick(route_xy, route_cmd, actors: ScenarioActors):
-    """One decision per scenario vehicle (scenario_actor_handler.py:39-43);
-    the caller integrates the returned actions with step_vehicle."""
-    ap, actions = jax.vmap(
-        lambda a, v, r, h, ts: local_planner_act(
-            route_xy, route_cmd, a, v, r, h, ts
-        )
-    )(actors.ap, actors.veh, actors.route_id, actors.head,
-      actors.target_speed)
-    return actors.replace(ap=ap), actions

@@ -3,7 +3,11 @@
 
 reset() -> (obs, metrics); step(action) -> (obs, metrics, reward, done,
 info). obs is the (3, W, W) float BEV (mask 0), metrics the 4-vector
-[target lat, target lon, speed, command]. Internally one jitted step per
+[target lat, target lon, speed, command]. With ``obs_dict=True`` the obs
+is instead the reference's FULL per-hero ObsManager dict
+(``sim/observations.py::observe_full`` — actor_state / navigation /
+object_finder / optional birdview, the CarlaMultiAgentEnv surface from
+``carla_multi_agent_env.py:104-116``). Internally one jitted step per
 call; for throughput use TpuVecEnv or the fused rollout in algo/.
 """
 from __future__ import annotations
@@ -27,12 +31,14 @@ class DrivingEnv:
         route_id: int = 0,
         seed: int = 2021,
         shuffle_tasks: bool = True,
+        obs_dict: bool = False,
     ):
         import jax
         import jax.numpy as jnp
 
         from gail_carla_tpu.ops.bev import render_bev
         from gail_carla_tpu.sim import env as sim_env
+        from gail_carla_tpu.sim.observations import observe_full
 
         self.scene = scene
         self.cfg = env_cfg
@@ -65,6 +71,11 @@ class DrivingEnv:
                 scene, env_cfg, r.xy, r.yaw, r.route_id, r.head
             )
         )
+        self._obs_dict = obs_dict
+        self._jit_full = (
+            jax.jit(lambda s: observe_full(scene, env_cfg, s))
+            if obs_dict else None
+        )
         self._jax = jax
         self._jnp = jnp
 
@@ -86,16 +97,23 @@ class DrivingEnv:
         self._rng, k = self._jax.random.split(self._rng)
         route_id = self._jnp.asarray(self.task["route_id"], self._jnp.int32)
         self._state, metrics, render = self._jit_reset(k, route_id)
-        obs = np.asarray(self._jit_render(render))
+        obs = self._observe(render)
         self._last_info = {}
         self.episode_reward = 0.0
         return obs, np.asarray(metrics)
+
+    def _observe(self, render):
+        if self._obs_dict:
+            return self._jax.tree.map(
+                np.asarray, self._jit_full(self._state)
+            )
+        return np.asarray(self._jit_render(render))
 
     def step(self, action):
         assert self._state is not None, "call reset() first"
         action = self._jnp.asarray(np.asarray(action, np.float32))
         self._state, out = self._jit_step(self._state, action)
-        obs = np.asarray(self._jit_render(out.render))
+        obs = self._observe(out.render)
         metrics = np.asarray(out.metrics)
         reward = float(out.reward)
         done = bool(out.done)

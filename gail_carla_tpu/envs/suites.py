@@ -29,13 +29,25 @@ WEATHER_GROUPS = {
     "train_eval": ["WetNoon", "ClearSunset"],
 }
 
-# nocrash_env.py:29-55 (Town01 column)
+# nocrash_env.py:29-55, per town
 NOCRASH_TRAFFIC = {
-    "empty": (0, 0),
-    "regular": (20, 50),
-    "dense": (100, 250),
-    "leaderboard": (120, 120),
+    "Town01": {
+        "empty": (0, 0),
+        "regular": (20, 50),
+        "dense": (100, 250),
+        "leaderboard": (120, 120),
+    },
+    "Town02": {
+        "empty": (0, 0),
+        "regular": (15, 50),
+        "dense": (70, 150),
+        "leaderboard": (70, 70),
+    },
 }
+
+SCENARIO_DESCRIPTIONS = (
+    "/root/reference/carla_gym/envs/scenario_descriptions"
+)
 
 
 def _tasks(weathers, route_ids, n_veh, n_wal) -> List[Dict]:
@@ -96,12 +108,33 @@ def leaderboard_suite(
 def nocrash_suite(
     background_traffic: str = "regular", weather_group: str = "train",
     n_routes: int = 10, seed: int = 2021,
+    town: str = None, route_description: str = "lbc",
 ) -> Tuple[StaticScene, EnvConfig, List[Dict]]:
-    graph = make_grid_town(nx=3, ny=3, block=90.0, seed=seed)
-    routes = generate_routes(graph, n_routes=n_routes, min_length=300.0,
-                             seed=seed)
-    scene = build_scene(graph, routes)
-    n_veh, n_wal = NOCRASH_TRAFFIC[background_traffic]
+    """nocrash_env.py: with ``town`` ("Town01"/"Town02") the scene is the
+    H5-reconstructed real town and the routes are the shipped NoCrash pack
+    (``scenario_descriptions/NoCrash/<route_description>/<town>/routes.xml``
+    — 25 start/goal pairs planned through the completed lane graph;
+    nocrash_env.py:57-59). Without it, the procedural grid town. Traffic
+    densities follow nocrash_env.py:29-55 per town, CAPPED at 32 NPCs per
+    kind (our per-world actor arrays are dense; dense/leaderboard tiers
+    are reported with the cap noted)."""
+    if town is not None:
+        import os
+
+        from gail_carla_tpu.scene.town_import import make_town_scene
+
+        pack = os.path.join(
+            SCENARIO_DESCRIPTIONS, "NoCrash", route_description, town,
+            "routes.xml",
+        )
+        scene = make_town_scene(town, pack)
+        n_routes = scene.n_routes
+    else:
+        graph = make_grid_town(nx=3, ny=3, block=90.0, seed=seed)
+        routes = generate_routes(graph, n_routes=n_routes,
+                                 min_length=300.0, seed=seed)
+        scene = build_scene(graph, routes)
+    n_veh, n_wal = NOCRASH_TRAFFIC[town or "Town01"][background_traffic]
     # our per-world NPC arrays are dense; cap to keep vmapped worlds cheap
     n_veh, n_wal = min(n_veh, 32), min(n_wal, 32)
     cfg = EnvConfig(
@@ -170,16 +203,49 @@ def _walk_shaped_route(graph, rng, n_turns: int, min_len: float):
     return None
 
 
+CORL_TASK_DIRS = {
+    "straight": "Straight", "one_curve": "OneCurve",
+    "navigation": "Navigation", "navigation_dynamic": "Navigation",
+}
+# corl2017_env.py:41-46
+CORL_DYNAMIC_TRAFFIC = {"Town01": (20, 50), "Town02": (15, 50)}
+
+
 def corl2017_suite(
     task_type: str = "straight", weather_group: str = "train",
-    seed: int = 2021,
+    seed: int = 2021, town: str = None, route_description: str = "lbc",
 ) -> Tuple[StaticScene, EnvConfig, List[Dict]]:
-    """corl2017_env.py: straight / one_curve / navigation[_dynamic] tasks,
-    selected by route shape (the reference ships per-shape routes.xml packs;
-    procedural towns build them by graph walks with a turn budget)."""
+    """corl2017_env.py: straight / one_curve / navigation[_dynamic] tasks.
+    With ``town`` set, routes come from the shipped per-shape pack
+    (``scenario_descriptions/CoRL2017/<route_description>/<TaskDir>/<town>/
+    routes.xml``, corl2017_env.py:28-46) planned through the real
+    reconstructed town; otherwise procedural towns build shaped routes by
+    graph walks with a turn budget."""
     assert task_type in (
         "straight", "one_curve", "navigation", "navigation_dynamic"
     )
+    if town is not None:
+        import os
+
+        from gail_carla_tpu.scene.town_import import make_town_scene
+
+        pack = os.path.join(
+            SCENARIO_DESCRIPTIONS, "CoRL2017", route_description,
+            CORL_TASK_DIRS[task_type], town, "routes.xml",
+        )
+        scene = make_town_scene(town, pack)
+        dyn = task_type == "navigation_dynamic"
+        n_veh, n_wal = CORL_DYNAMIC_TRAFFIC[town] if dyn else (0, 0)
+        n_veh, n_wal = min(n_veh, 32), min(n_wal, 32)
+        cfg = EnvConfig(
+            train=True, terminal_mode="leaderboard",
+            n_npc_vehicles=n_veh, n_npc_walkers=n_wal,
+        )
+        tasks = _tasks(
+            WEATHER_GROUPS[weather_group], range(scene.n_routes),
+            n_veh, n_wal,
+        )
+        return scene, cfg, tasks
     graph = make_grid_town(nx=4, ny=4, block=100.0, seed=seed)
     rng = np.random.default_rng(seed)
     n_turns = {"straight": 0, "one_curve": 1}.get(task_type, 4)

@@ -395,16 +395,39 @@ def grid_building_obstacles(
     return out
 
 
-def nearest_edge_point(graph: LaneGraph, xy: np.ndarray) -> Tuple[int, int]:
+def nearest_edge_point(
+    graph: LaneGraph, xy: np.ndarray, yaw: float = None,
+    yaw_weight: float = 8.0,
+) -> Tuple[int, int]:
     """Locate (edge index, point index) nearest to a world location —
-    the counterpart of ``map.get_waypoint`` localization."""
+    the counterpart of ``map.get_waypoint`` localization. With ``yaw``
+    the lookup is DIRECTION-aware (``map.get_waypoint`` returns the lane
+    matching the query's driving side): an edge running against the query
+    heading pays ``yaw_weight * (1 - cos)`` metres of penalty, so the
+    correct lane of a two-way road wins over the slightly-nearer oncoming
+    lane. CHANGELANE connector edges are never returned
+    (``map.get_waypoint`` localizes onto driving lanes, not the planner's
+    synthetic lane-change diagonals — they remain A*-traversable)."""
+    lane_change = (RoadOption.CHANGELANELEFT, RoadOption.CHANGELANERIGHT)
     best = (0, 0)
     best_d = float("inf")
     for k, e in enumerate(graph.edges):
+        if e.option in lane_change and len(graph.edges) > 1:
+            continue
         d = np.linalg.norm(e.pts - xy[None, :], axis=1)
         m = int(np.argmin(d))
-        if d[m] < best_d:
-            best_d = float(d[m])
+        score = float(d[m])
+        if yaw is not None:
+            j = min(m, len(e.pts) - 2)
+            t = e.pts[j + 1] - e.pts[j]
+            n = float(np.linalg.norm(t))
+            if n > 1e-9:
+                cosang = (
+                    t[0] * math.cos(yaw) + t[1] * math.sin(yaw)
+                ) / n
+                score += yaw_weight * (1.0 - cosang)
+        if score < best_d:
+            best_d = score
             best = (k, m)
     return best
 

@@ -103,6 +103,34 @@ def densify_leg(
         # straight road
         return [_Piece(_sample_line(p0, p1, step), RoadOption.LANEFOLLOW,
                        False, yaw_in=yaw0, yaw_out=yaw1)]
+    lon = float(d @ f0)
+    lat = float(f0[0] * d[1] - f0[1] * d[0])  # + = CARLA right (y-down)
+    if (abs(dyaw) < 0.09 and 1.8 <= abs(lat) <= 8.5
+            and lon > 2.0 * abs(lat)):
+        # Lane change: parallel headings one or two lane widths apart.
+        # The reference's GlobalRoutePlanner emits CHANGELANELEFT/RIGHT
+        # for its lane-change edges (global_route_planner.py:148-184);
+        # route-file legs of this shape are exactly those edges plus
+        # lane-follow slack, so reconstruct as straight approach + a
+        # bounded diagonal blend (the CHANGELANE piece) + straight exit.
+        opt = (RoadOption.CHANGELANERIGHT if lat > 0
+               else RoadOption.CHANGELANELEFT)
+        blend = min(lon - 2.0, max(6.0 * abs(lat), 12.0))
+        s_pre = (lon - blend) * 0.5
+        E = p0 + f0 * s_pre
+        X = p1 - f1 * s_pre
+        pieces: List[_Piece] = []
+        if s_pre > 1.0:
+            pieces.append(_Piece(_sample_line(p0, E, step),
+                                 RoadOption.LANEFOLLOW, False,
+                                 yaw_in=yaw0, yaw_out=yaw0))
+        pieces.append(_Piece(_sample_arc(E, yaw0, X, yaw1, step), opt,
+                             False, yaw_in=yaw0, yaw_out=yaw1))
+        if s_pre > 1.0:
+            pieces.append(_Piece(_sample_line(X, p1, step),
+                                 RoadOption.LANEFOLLOW, False,
+                                 yaw_in=yaw1, yaw_out=yaw1))
+        return pieces
     if abs(dyaw) < 0.35:
         # gentle curve within one road — smooth blend, still lane-follow
         return [_Piece(_sample_arc(p0, yaw0, p1, yaw1, step),
@@ -227,11 +255,18 @@ def benchmark_routes(
 ) -> List[RouteDef]:
     """The benchmark task pack: routes of ``town`` from one file, in file
     order with re-numbered ids (training routes 0-9 are exactly the Town01
-    block of routes_training.xml, ``params_variable.json:13``)."""
-    path = os.path.join(root, "data", route_file)
-    picked = [r for r in parse_routes_xml(path) if r.town == town]
+    block of routes_training.xml, ``params_variable.json:13``).
+    ``route_file`` may also be a path to a scenario-description pack's
+    routes.xml, whose routes carry no town attribute."""
+    if os.sep in route_file and os.path.exists(route_file):
+        path = route_file
+        picked = list(parse_routes_xml(path))
+    else:
+        path = os.path.join(root, "data", route_file)
+        picked = [r for r in parse_routes_xml(path) if r.town == town]
     return [
-        dataclasses.replace(r, route_id=i) for i, r in enumerate(picked)
+        dataclasses.replace(r, route_id=i, town=town)
+        for i, r in enumerate(picked)
     ]
 
 
@@ -301,12 +336,25 @@ def build_town_graph(
     lane_width: float = LANE_WIDTH,
     dir_tol: float = 0.07,
     lat_tol: float = 1.2,
+    geometry=None,
+    crossing_junctions: bool = False,
 ) -> LaneGraph:
     """Union of all route legs -> merged directed lane graph + synthesized
-    signals. See module docstring for the method."""
+    signals. See module docstring for the method.
+
+    With ``geometry`` (the town's H5-derived mask geometry) the graph is
+    COMPLETED beyond the raw route evidence: every lane line gets its
+    opposite-direction twin when the mask proves a two-way road there
+    (``sd`` of the offset lane centre consistent with a 2-lane road), and
+    with ``crossing_junctions`` near-perpendicular lane-line crossings
+    spawn junction clusters even where no turning evidence exists —
+    together these make arbitrary start->goal pairs plannable (the
+    NoCrash/CoRL2017 packs are bare endpoint pairs,
+    ``nocrash_env.py:57-59``)."""
     runs: List[_Run] = []
     curves: Dict[Tuple, _Piece] = {}
     arcs: Dict[Tuple, _Piece] = {}
+    lane_change_pieces: Dict[Tuple, _Piece] = {}
 
     def endpoint_key(a, b):
         return (round(a[0] / 2.0), round(a[1] / 2.0),
@@ -332,6 +380,13 @@ def build_town_graph(
                 a, b = piece.pts[0], piece.pts[-1]
                 if piece.is_junction:
                     arcs.setdefault(endpoint_key(a, b), piece)
+                elif piece.option in (RoadOption.CHANGELANELEFT,
+                                      RoadOption.CHANGELANERIGHT):
+                    # evidence lane-change blends connect adjacent lanes;
+                    # they must NOT seed runs (their chord is diagonal)
+                    lane_change_pieces.setdefault(
+                        endpoint_key(a, b), piece
+                    )
                 elif abs(_wrap(piece.yaw_out - piece.yaw_in)) < 0.06:
                     yaw = math.atan2(b[1] - a[1], b[0] - a[0])
                     run = match_run(a, yaw)
@@ -346,6 +401,82 @@ def build_town_graph(
                     run.add_interval(min(lo, hi), max(lo, hi))
                 else:
                     curves.setdefault(endpoint_key(a, b), piece)
+
+    # 1b. mask-guided interval extension: evidence intervals end wherever
+    # a route happened to stop, leaving dead-end stubs mid-road. Extend
+    # each interval end along its lane line for as long as the line stays
+    # inside the H5 road mask (the junction pass later cuts and links the
+    # extended coverage).
+    if geometry is not None:
+        from gail_carla_tpu.scene import mask_geo as _mg
+
+        step_e = 4.0
+        for run in runs:
+            for lo, hi in list(run.intervals):
+                for sgn, s0 in ((1.0, hi), (-1.0, lo)):
+                    ss = s0 + sgn * step_e * np.arange(1, 101)
+                    pts = run.o[None, :] + ss[:, None] * run.d[None, :]
+                    _, sd, _ = _mg.boundary_project(geometry.bnd_ab, pts)
+                    inside = sd > 0.9
+                    n_ok = (
+                        int(np.argmax(~inside)) if (~inside).any()
+                        else len(ss)
+                    )
+                    if n_ok > 0:
+                        s_end = float(ss[n_ok - 1])
+                        run.add_interval(min(s0, s_end), max(s0, s_end))
+
+    # 1c. twin-lane completion: evidence often drives a road in only one
+    # direction. Where the H5 road mask proves a standard two-way two-lane
+    # road (the offset lane centre sits inside the mask AND within
+    # ~0.8 lane widths of the far edge — wider carriageways are rejected
+    # so one-way multi-lane roads never get a ghost oncoming lane), add
+    # the opposite lane as a run of its own.
+    def covered(p: np.ndarray, yaw: float) -> bool:
+        f = np.array([math.cos(yaw), math.sin(yaw)])
+        for r2 in runs:
+            if float(r2.d @ f) < math.cos(3.0 * dir_tol):
+                continue
+            if r2.lateral(p) > 1.5 * lat_tol:
+                continue
+            s = r2.proj(p)
+            if any(lo - 5.0 <= s <= hi + 5.0 for lo, hi in r2.intervals):
+                return True
+        return False
+
+    if geometry is not None:
+        from gail_carla_tpu.scene import mask_geo
+
+        twins: List[_Run] = []
+        for run in runs:
+            left = np.array([-run.d[1], run.d[0]])
+            yaw_t = math.atan2(-run.d[1], -run.d[0])
+            for lo, hi in run.intervals:
+                if hi - lo < 25.0:
+                    continue
+                ss = np.arange(lo + 2.0, hi - 2.0, 8.0)
+                if len(ss) < 3:
+                    continue
+                pts = (
+                    run.o[None, :] + ss[:, None] * run.d[None, :]
+                    + left[None, :] * lane_width
+                )
+                _, sd, _ = mask_geo.boundary_project(geometry.bnd_ab, pts)
+                if float((sd > 0.9).mean()) < 0.92:
+                    continue  # offset lane leaves the road mask
+                if float(np.median(sd)) > 0.8 * lane_width:
+                    continue  # road wider than 2 lanes: direction unknown
+                n_cov = sum(
+                    covered(p, yaw_t) for p in pts[:: max(len(pts) // 6, 1)]
+                )
+                if n_cov > 0.2 * len(pts[:: max(len(pts) // 6, 1)]):
+                    continue  # opposite lane (partially) evidenced already
+                t = _Run(
+                    o=run.o + left * lane_width, d=-run.d, intervals=[]
+                )
+                t.add_interval(-hi, -lo)
+                twins.append(t)
+        runs.extend(twins)
 
     # 2. junction clusters from arc corners
     corners = [p.corner for p in arcs.values() if p.corner is not None]
@@ -367,6 +498,44 @@ def build_town_graph(
                 hit["center"] * (hit["n"] - 1) + c
             ) / hit["n"]
 
+    # 2b. crossing-derived junctions: two near-perpendicular lane lines
+    # whose covered intervals cross MUST meet at a junction even if no
+    # route evidence ever turned there (Town01/02 are flat grids — no
+    # overpasses — so a 2D crossing is a real junction; towns with
+    # grade separation keep this off).
+    if crossing_junctions:
+        for i, r1 in enumerate(runs):
+            for r2 in runs[i + 1:]:
+                det = r1.d[0] * r2.d[1] - r1.d[1] * r2.d[0]
+                if abs(det) < 0.5:
+                    continue
+                rhs = r2.o - r1.o
+                s = (rhs[0] * r2.d[1] - rhs[1] * r2.d[0]) / det
+                t = (r1.d[0] * rhs[1] - r1.d[1] * rhs[0]) / det
+                # corner junctions: at an L-corner both roads END short of
+                # the geometric line crossing by about the corner radius,
+                # so the tolerance must cover it
+                m = 14.0
+                if not any(
+                    lo - m <= s <= hi + m for lo, hi in r1.intervals
+                ):
+                    continue
+                if not any(
+                    lo - m <= t <= hi + m for lo, hi in r2.intervals
+                ):
+                    continue
+                c = r1.point(s)
+                hit = None
+                for cl in clusters:
+                    if np.linalg.norm(cl["center"] - c) < 15.0:
+                        hit = cl
+                        break
+                if hit is None:
+                    clusters.append({
+                        "center": c.copy(), "members": [], "n": 0,
+                        "force_signalized": True,
+                    })
+
     for cl in clusters:
         headings = set()
         radius = 8.0
@@ -376,8 +545,12 @@ def build_town_graph(
                 radius = max(radius, float(
                     np.linalg.norm(q - cl["center"])
                 ) + 1.0)
+        if not cl["members"]:
+            radius = 10.0
         cl["radius"] = min(radius, 20.0)
-        cl["signalized"] = len(headings) >= 2
+        cl["signalized"] = len(headings) >= 2 or cl.get(
+            "force_signalized", False
+        )
 
     # 3. snap arc endpoints onto runs, record cut points
     def snap_to_run(p: np.ndarray, yaw: float) -> np.ndarray:
@@ -419,18 +592,22 @@ def build_town_graph(
         ))
 
     for jid, cl in enumerate(clusters):
-        if not cl["signalized"]:
-            continue
-        principal = cl["members"][0].yaw_in
-        # lights at every turning-arc entry
-        for p in cl["members"]:
-            pass  # entries handled from the snapped arcs below
-        for piece in snapped_arcs:
-            if piece.corner is None:
-                continue
-            if np.linalg.norm(piece.corner - cl["center"]) < cl["radius"]:
-                add_light(piece.pts[0], piece.yaw_in, jid, principal)
-        # straight-through crossings
+        principal = (
+            cl["members"][0].yaw_in if cl["members"] else None
+        )
+        if cl["signalized"]:
+            # lights at every turning-arc entry
+            for piece in snapped_arcs:
+                if piece.corner is None:
+                    continue
+                if np.linalg.norm(
+                    piece.corner - cl["center"]
+                ) < cl["radius"]:
+                    if principal is None:
+                        principal = piece.yaw_in
+                    add_light(piece.pts[0], piece.yaw_in, jid, principal)
+        # straight-through crossings cut the runs for EVERY cluster
+        # (connectivity); lights only at signalized ones
         for run in runs:
             lat = run.lateral(cl["center"])
             if lat >= cl["radius"]:
@@ -442,8 +619,212 @@ def build_town_graph(
                 if s_in > lo + 2.0 and s_out < hi - 2.0:
                     run.cuts.extend([s_in, s_out])
                     run.junction_spans.append((s_in, s_out))
-                    yaw = math.atan2(run.d[1], run.d[0])
-                    add_light(run.point(s_in), yaw, jid, principal)
+                    if cl["signalized"]:
+                        yaw = math.atan2(run.d[1], run.d[0])
+                        if principal is None:
+                            principal = yaw
+                        add_light(run.point(s_in), yaw, jid, principal)
+
+    # 4b. junction completion: the evidence routes only exercise SOME of
+    # each junction's legal (entry, exit) pairs, which leaves the directed
+    # graph unable to plan arbitrary start->goal pairs (NoCrash/CoRL2017
+    # routes are bare endpoint pairs — nocrash_env.py:57-59 plans them on
+    # the OpenDRIVE map). Synthesize the missing connectors between every
+    # observed entry and exit of each junction (no U-turns); the mask
+    # repair pass afterwards pulls each synthesized arc into the true
+    # junction polygon, so invented geometry cannot leave the road.
+    extra_arcs: List[_Piece] = []
+    for cl in clusters:
+        entries: List[Tuple[np.ndarray, float, object]] = []
+        exits: List[Tuple[np.ndarray, float, object]] = []
+        for ai, piece in enumerate(snapped_arcs):
+            if piece.corner is None or np.linalg.norm(
+                piece.corner - cl["center"]
+            ) >= cl["radius"]:
+                continue
+            entries.append((piece.pts[0], piece.yaw_in, ("arc", ai)))
+            exits.append((piece.pts[-1], piece.yaw_out, ("arc", ai)))
+        for ri, run in enumerate(runs):
+            yaw = math.atan2(run.d[1], run.d[0])
+            for si, (s_in, s_out) in enumerate(run.junction_spans):
+                mid = run.point(0.5 * (s_in + s_out))
+                if np.linalg.norm(mid - cl["center"]) < cl["radius"]:
+                    entries.append((run.point(s_in), yaw, ("run", ri, si)))
+                    exits.append((run.point(s_out), yaw, ("run", ri, si)))
+            # dangling interval ends at this junction: a run that STOPS
+            # at the junction is an approach (entry); one that STARTS
+            # just past it is a departure (exit) — this is what stitches
+            # one-way evidence stubs back into the network
+            lat = run.lateral(cl["center"])
+            if lat < cl["radius"] + 6.0:
+                s_c = run.proj(cl["center"])
+                halfspan = math.sqrt(
+                    max(cl["radius"] ** 2 - lat ** 2, 0.0)
+                )
+                w_in = cl["radius"] + 14.0
+                for li, (lo, hi) in enumerate(run.intervals):
+                    # run STOPS at/inside the junction: entry where it
+                    # crosses the junction circle (cut the lane there so
+                    # the connector lands on a graph node)
+                    if s_c - w_in <= hi <= s_c + cl["radius"]:
+                        s_e = min(hi, s_c - halfspan)
+                        if s_e >= lo:
+                            run.cuts.append(float(s_e))
+                            entries.append(
+                                (run.point(s_e), yaw, ("rend", ri, li))
+                            )
+                    # run STARTS at/inside the junction: exit where it
+                    # leaves the circle — NOT at its raw tip, which can
+                    # sit behind every entry heading (mask-extended lane
+                    # tips reach past the junction centre)
+                    if s_c - cl["radius"] <= lo <= s_c + w_in:
+                        s_x = max(lo, s_c + halfspan)
+                        if s_x <= hi:
+                            run.cuts.append(float(s_x))
+                            exits.append(
+                                (run.point(s_x), yaw, ("rstart", ri, li))
+                            )
+
+        def connected(pe, px):
+            return any(
+                np.linalg.norm(p.pts[0] - pe) < 2.0
+                and np.linalg.norm(p.pts[-1] - px) < 2.0
+                for p in snapped_arcs + extra_arcs
+            )
+
+        for pe, ye, tag_e in entries:
+            fe = np.array([math.cos(ye), math.sin(ye)])
+            for px_, yx, tag_x in exits:
+                if tag_e == tag_x:
+                    continue  # an arc/crossing already connects itself
+                dyaw = _wrap(yx - ye)
+                if abs(dyaw) > 2.2:
+                    continue  # no U-turn connectors
+                d = px_ - pe
+                dist = float(np.linalg.norm(d))
+                if dist < 1.0 or dist > 3.0 * cl["radius"]:
+                    continue
+                fx = np.array([math.cos(yx), math.sin(yx)])
+                if d @ fe <= 0.2 * dist or d @ fx <= 0.2 * dist:
+                    continue  # exit must lie ahead of the entry heading
+                if connected(pe, px_):
+                    continue
+                opt = (
+                    _turn_option(ye, yx) if abs(dyaw) > 0.35
+                    else RoadOption.LANEFOLLOW
+                )
+                extra_arcs.append(_Piece(
+                    _sample_arc(pe, ye, px_, yx), opt, True,
+                    corner=cl["center"].copy(), yaw_in=ye, yaw_out=yx,
+                ))
+    snapped_arcs.extend(extra_arcs)
+
+    # 4c. CHANGELANE edges (``global_route_planner.py:148-184`` adds a
+    # lane-change edge at every waypoint whose lane marking permits one).
+    # Two sources: (a) evidence blends from the route files
+    # (lane_change_pieces) — cut their source/target runs so the blend
+    # endpoints land on graph nodes; (b) synthesized connectors wherever
+    # two same-direction runs sit about one lane width apart with
+    # overlapping non-junction coverage — one connector pair per
+    # ~anchor_gap m gives A* the same lane-change freedom at graph scale.
+    lane_change_edges: List[_Piece] = list(lane_change_pieces.values())
+
+    def cut_run_at(p: np.ndarray, yaw: float) -> Optional[np.ndarray]:
+        """Cut the matching run at p's projection; returns the ON-RUN
+        point (the graph node the caller should attach to)."""
+        f = np.array([math.cos(yaw), math.sin(yaw)])
+        for run in runs:
+            if float(run.d @ f) < math.cos(3.0 * dir_tol):
+                continue
+            if run.lateral(p) > lat_tol:
+                continue
+            s = run.proj(p)
+            if any(lo - 1.0 <= s <= hi + 1.0 for lo, hi in run.intervals):
+                run.cuts.append(float(s))
+                return run.point(s)
+        return None
+
+    for k, piece in enumerate(lane_change_edges):
+        pa = cut_run_at(piece.pts[0], piece.yaw_in)
+        pb = cut_run_at(piece.pts[-1], piece.yaw_out)
+        if pa is not None and pb is not None:
+            # rebuild the blend between the ON-RUN endpoints so the edge
+            # lands exactly on the cut nodes
+            lane_change_edges[k] = dataclasses.replace(
+                piece, pts=_sample_arc(pa, piece.yaw_in, pb, piece.yaw_out)
+            )
+
+    def clear_of_junctions(run: _Run, a: float, b: float) -> bool:
+        return not any(
+            s - 4.0 <= b and e + 4.0 >= a
+            for s, e in run.junction_spans
+        )
+
+    if geometry is not None:
+        from gail_carla_tpu.scene import mask_geo as _mg2
+
+    anchor_gap, diag = 35.0, 16.0
+    for i1, r1 in enumerate(runs):
+        for r2 in runs[i1 + 1:]:
+            if float(r1.d @ r2.d) < math.cos(3.0 * dir_tol):
+                continue
+            lat = r1.lateral(r2.o)
+            if not 0.55 * lane_width <= lat <= 1.7 * lane_width:
+                continue
+            v = r2.o - r1.o
+            to_right = (r1.d[0] * v[1] - r1.d[1] * v[0]) > 0
+            yaw1 = math.atan2(r1.d[1], r1.d[0])
+            yaw2 = math.atan2(r2.d[1], r2.d[0])
+            for lo1, hi1 in r1.intervals:
+                for lo2, hi2 in r2.intervals:
+                    a2 = r1.proj(r2.point(lo2))
+                    b2 = r1.proj(r2.point(hi2))
+                    lo = max(lo1, min(a2, b2))
+                    hi = min(hi1, max(a2, b2))
+                    if hi - lo < anchor_gap:
+                        continue
+                    for s in np.arange(lo + 6.0, hi - 6.0 - diag,
+                                       anchor_gap):
+                        s2 = r2.proj(r1.point(s))
+                        if not (clear_of_junctions(r1, s, s + diag)
+                                and clear_of_junctions(
+                                    r2, s2, s2 + diag)):
+                            continue
+                        if geometry is not None:
+                            # the gap between the lanes must be road
+                            # surface (rejects parallel SEPARATE roads,
+                            # e.g. a service road beside a highway)
+                            mids = 0.5 * (
+                                r1.point(s + 0.5 * diag)
+                                + r2.point(s2 + 0.5 * diag)
+                            )[None, :]
+                            _, sd_m, _ = _mg2.boundary_project(
+                                geometry.bnd_ab, mids
+                            )
+                            if float(sd_m[0]) < 0.3:
+                                continue
+                        opt12 = (
+                            RoadOption.CHANGELANERIGHT if to_right
+                            else RoadOption.CHANGELANELEFT
+                        )
+                        opt21 = (
+                            RoadOption.CHANGELANELEFT if to_right
+                            else RoadOption.CHANGELANERIGHT
+                        )
+                        pa, pb = r1.point(s), r2.point(s2 + diag)
+                        r1.cuts.append(float(s))
+                        r2.cuts.append(float(s2 + diag))
+                        lane_change_edges.append(_Piece(
+                            _sample_arc(pa, yaw1, pb, yaw2), opt12,
+                            False, yaw_in=yaw1, yaw_out=yaw2,
+                        ))
+                        qa, qb = r2.point(s2), r1.point(s + diag)
+                        r2.cuts.append(float(s2))
+                        r1.cuts.append(float(s + diag))
+                        lane_change_edges.append(_Piece(
+                            _sample_arc(qa, yaw2, qb, yaw1), opt21,
+                            False, yaw_in=yaw2, yaw_out=yaw1,
+                        ))
 
     # 5. assemble edges
     snap = _NodeSnap()
@@ -479,6 +860,8 @@ def build_town_graph(
         add_edge(piece.pts, RoadOption.LANEFOLLOW, False)
     for piece in snapped_arcs:
         add_edge(piece.pts, piece.option, True)
+    for piece in lane_change_edges:
+        add_edge(piece.pts, piece.option, False)
 
     adjacency: Dict[int, List[int]] = {}
     for k, e in enumerate(edges):
@@ -576,11 +959,19 @@ def make_town_scene(
 ):
     """StaticScene for a reconstructed reference town whose task routes are
     the ``town`` block of ``route_file`` (training: Town01 routes 0-9 — the
-    reference's actual benchmark, ``leaderboard_env.py:7-97``). Dense route
-    polylines come straight from the route's own densified legs (no A*
-    needed); the merged graph supplies road surface, signals, spawn points
-    and NPC patrols. Cached per argument tuple."""
+    reference's actual benchmark, ``leaderboard_env.py:7-97``).
+
+    ``route_file`` is either a name under ``<root>/data/`` or a PATH to a
+    scenario-description pack's ``routes.xml`` (NoCrash / CoRL2017 —
+    ``nocrash_env.py:57``). Multi-waypoint routes densify from their own
+    legs; bare start/goal pairs (the NoCrash/CoRL2017 format) are PLANNED
+    through the completed town graph with A* like the reference's
+    GlobalRoutePlanner (``task_vehicle.py:84-93``); unplannable pairs are
+    dropped with a warning. Cached per argument tuple."""
+    import sys
+
     from gail_carla_tpu.scene.scene import build_scene
+    from gail_carla_tpu.scene.trace import trace_route
 
     key = (town, route_file, root, route_pts_pad, n_patrols)
     if key not in _TOWN_SCENE_CACHE:
@@ -590,11 +981,33 @@ def make_town_scene(
         if not bench:
             raise ValueError(f"no {town} routes in {route_file}")
         evidence = collect_town_routes(town, root)
-        graph = build_town_graph(evidence)
         geometry = load_town_geometry(town)
+        graph = build_town_graph(
+            evidence, geometry=geometry,
+            # flat grid towns: every 2D lane crossing is a real junction;
+            # Town03-06 have grade separation so crossings stay off there
+            crossing_junctions=town in ("Town01", "Town02"),
+        )
         if geometry is not None:
             graph = repair_graph_to_mask(graph, geometry)
-        dense = [densify_route(r.waypoints) for r in bench]
+        dense, kept = [], []
+        for r in bench:
+            if len(r.waypoints) >= 4:
+                dense.append(densify_route(r.waypoints))
+                kept.append(r)
+                continue
+            try:
+                dense.append(trace_route(graph, r.waypoints, use_yaw=True))
+                kept.append(r)
+            except RuntimeError:
+                print(
+                    f"make_town_scene: dropped unplannable route "
+                    f"{r.route_id} of {route_file} ({town})",
+                    file=sys.stderr,
+                )
+        bench = [
+            dataclasses.replace(r, route_id=i) for i, r in enumerate(kept)
+        ]
         if geometry is not None:
             dense = [repair_dense_route(d, geometry) for d in dense]
         _TOWN_SCENE_CACHE[key] = build_scene(

@@ -31,10 +31,11 @@ class DenseRoute:
         return float(self.s[-1])
 
 
-def _edge_slices(graph: LaneGraph, a_xy: np.ndarray, b_xy: np.ndarray):
+def _edge_slices(graph: LaneGraph, a_xy: np.ndarray, b_xy: np.ndarray,
+                 a_yaw=None, b_yaw=None):
     """Points + commands for the graph path from a to b (inclusive)."""
-    ek_a, ia = nearest_edge_point(graph, a_xy)
-    ek_b, ib = nearest_edge_point(graph, b_xy)
+    ek_a, ia = nearest_edge_point(graph, a_xy, yaw=a_yaw)
+    ek_b, ib = nearest_edge_point(graph, b_xy, yaw=b_yaw)
     pts: List[np.ndarray] = []
     cmds: List[np.ndarray] = []
 
@@ -59,13 +60,22 @@ def _edge_slices(graph: LaneGraph, a_xy: np.ndarray, b_xy: np.ndarray):
     return pts, cmds
 
 
-def trace_route(graph: LaneGraph, waypoints: np.ndarray) -> DenseRoute:
+def trace_route(graph: LaneGraph, waypoints: np.ndarray,
+                use_yaw: bool = False) -> DenseRoute:
     """Trace through all route keypoints and concatenate
-    (``task_vehicle.py:84-93`` iterates target transforms the same way)."""
+    (``task_vehicle.py:84-93`` iterates target transforms the same way).
+    ``use_yaw``: snap each keypoint to the lane matching its heading
+    (column 2) — for route packs whose waypoints carry REAL yaws
+    (NoCrash/CoRL2017); grid-walk waypoints carry dummy zeros and must
+    keep the distance-only snap."""
     pts: List[np.ndarray] = []
     cmds: List[np.ndarray] = []
     for i in range(len(waypoints) - 1):
-        p, c = _edge_slices(graph, waypoints[i, :2], waypoints[i + 1, :2])
+        p, c = _edge_slices(
+            graph, waypoints[i, :2], waypoints[i + 1, :2],
+            a_yaw=waypoints[i, 2] if use_yaw else None,
+            b_yaw=waypoints[i + 1, 2] if use_yaw else None,
+        )
         if pts and p:
             # drop duplicated seam point
             p = [p[0][1:]] + p[1:] if len(p[0]) > 1 else p[1:]

