@@ -219,6 +219,7 @@ class WDGAILLearner:
             )
             reward_rms = state.reward_rms
             returns_acc = state.returns_acc
+            shifted = gail_raw + tcfg.gail_reward_shift
             if tcfg.gail_norm_reward:
                 # VecNormalize-style return normalisation — what the
                 # reference's dormant ret_rms (algo/wdgail.py:38) was
@@ -226,7 +227,12 @@ class WDGAILLearner:
                 # rewards by its running std (scale-only, so softplus's
                 # positivity/survival bias survives; normalising by the
                 # raw reward std instead explodes when D barely
-                # separates). Moments pmean'd across the mesh so
+                # separates). The SHIFTED reward is what gets tracked
+                # and scaled: dividing only softplus(D) while adding the
+                # survival shift afterwards would let the shift dominate
+                # as sigma grows — scaling both preserves the
+                # shift/discrimination balance the terminal modes are
+                # tuned around. Moments pmean'd across the mesh so
                 # replicated state stays bitwise equal.
                 def ret_body(acc, inp):
                     r, m_next = inp
@@ -235,16 +241,16 @@ class WDGAILLearner:
 
                 returns_acc, rets = jax.lax.scan(
                     ret_body, returns_acc,
-                    (gail_raw, rollout.masks[1:]),
+                    (shifted, rollout.masks[1:]),
                 )
                 reward_rms = rms_mod.update_rms(
                     reward_rms, rets.reshape(-1),
                     axis_name=self.axis_name,
                 )
-                gail_raw = jnp.clip(
-                    gail_raw / (reward_rms.std + 1e-8), -10.0, 10.0
+                shifted = jnp.clip(
+                    shifted / (reward_rms.std + 1e-8), -10.0, 10.0
                 )
-            gail_rewards = gail_raw + tcfg.gail_reward_shift
+            gail_rewards = shifted
             rollout = rollout.replace(gail_rewards=gail_rewards)
 
             returns = compute_returns(
