@@ -14,7 +14,8 @@ import sys
 
 def benchmark(ckpt_dir=None, episodes_per_route: int = 1,
               scene_kwargs=None, max_steps: int = 2400,
-              obs_mode: str = "bev"):
+              obs_mode: str = "bev", expert: bool = False,
+              obey_signals: bool = True):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -45,18 +46,38 @@ def benchmark(ckpt_dir=None, episodes_per_route: int = 1,
     R = scene.n_routes
     route_ids = jnp.arange(R, dtype=jnp.int32)
 
+    if expert:
+        # score the scripted expert itself (the imitation ceiling) —
+        # noise-free compliant autopilot, same scoring as policies
+        import jax as _jax
+        from gail_carla_tpu.agents.autopilot import (
+            autopilot_act, make_autopilot, reset_autopilot_where,
+        )
+
+        ap0 = _jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (R,) + a.shape), make_autopilot()
+        )
+
     @jax.jit
     def run(rng):
         states, metrics, render = reset_batch(scene, cfg, rng, route_ids)
 
         def body(carry, _):
-            st, metrics, render, latched = carry
-            obs = _obs_batch(scene, cfg, render, metrics)
-            _, action, _ = policy_mod.act(
-                net, params, obs, metrics, jax.random.PRNGKey(0),
-                deterministic=True,
-            )
+            st, ap, metrics, render, latched = carry
+            if expert:
+                ap, action = jax.vmap(
+                    lambda a, w: autopilot_act(scene, a, w, 6.0,
+                                               obey_signals)
+                )(ap, st)
+            else:
+                obs = _obs_batch(scene, cfg, render, metrics)
+                _, action, _ = policy_mod.act(
+                    net, params, obs, metrics, jax.random.PRNGKey(0),
+                    deterministic=True,
+                )
             st2, out = step_batch(scene, cfg, st, action)
+            if expert:
+                ap = jax.vmap(reset_autopilot_where)(out.done, ap)
             first = out.done & (~latched["done"])
 
             def latch(key):
@@ -72,7 +93,7 @@ def benchmark(ckpt_dir=None, episodes_per_route: int = 1,
                 "route_completed": latch("route_completed"),
                 "collision": latch("collision"),
             }
-            return (st2, out.metrics, out.render, latched), None
+            return (st2, ap, out.metrics, out.render, latched), None
 
         latched0 = {
             "done": jnp.zeros((R,), bool),
@@ -84,8 +105,9 @@ def benchmark(ckpt_dir=None, episodes_per_route: int = 1,
             "route_completed": jnp.zeros((R,), bool),
             "collision": jnp.zeros((R,), bool),
         }
-        (_, _, _, latched), _ = jax.lax.scan(
-            body, (states, metrics, render, latched0), None,
+        ap_c = ap0 if expert else jnp.zeros((R,))
+        (_, _, _, _, latched), _ = jax.lax.scan(
+            body, (states, ap_c, metrics, render, latched0), None,
             length=max_steps,
         )
         return latched
@@ -139,12 +161,20 @@ def main(argv=None):
     p.add_argument("--episodes", type=int, default=1,
                    help="episodes per route (different env seeds), "
                         "averaged")
+    p.add_argument("--expert", action="store_true",
+                   help="score the scripted expert autopilot instead of "
+                        "a policy (the imitation ceiling)")
+    p.add_argument("--no-obey-signals", action="store_true",
+                   help="with --expert: ignore red lights (the "
+                        "reference's BasicAgent default)")
     args = p.parse_args(argv)
     scene_kwargs = {"town": args.town} if args.town else None
     if scene_kwargs and args.route_file:
         scene_kwargs["route_file"] = args.route_file
     benchmark(args.ckpt, episodes_per_route=args.episodes,
-              scene_kwargs=scene_kwargs, obs_mode=args.obs_mode)
+              scene_kwargs=scene_kwargs, obs_mode=args.obs_mode,
+              expert=args.expert,
+              obey_signals=not args.no_obey_signals)
 
 
 if __name__ == "__main__":

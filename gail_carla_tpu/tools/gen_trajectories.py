@@ -57,10 +57,18 @@ def gen_trajectories(
     from gail_carla_tpu.config import EnvConfig
     from gail_carla_tpu.ops.bev_full import render_bev_full
     from gail_carla_tpu.ops.camera import render_camera
-    from gail_carla_tpu.scene.scene import make_benchmark_scene
     from gail_carla_tpu.sim.env import reset_batch, step_batch
 
-    scene = make_benchmark_scene(**(scene_kwargs or {}))
+    kw = dict(scene_kwargs or {})
+    if "town" in kw:
+        # reconstructed reference town (carla_exp.py runs on Town01)
+        from gail_carla_tpu.scene.town_import import make_town_scene
+
+        scene = make_town_scene(**kw)
+    else:
+        from gail_carla_tpu.scene.scene import make_benchmark_scene
+
+        scene = make_benchmark_scene(**kw)
     cfg = EnvConfig(train=False, full_bev=True)
 
     step_one = jax.jit(
@@ -176,10 +184,14 @@ def main(argv=None):
     p.add_argument("--eps", type=int, default=1)
     p.add_argument("--max-steps", type=int, default=6000)
     p.add_argument("--no-cameras", action="store_true")
+    p.add_argument("--town", default=None,
+                   help="generate on a reconstructed town (e.g. Town01) "
+                        "instead of the procedural grid benchmark")
     args = p.parse_args(argv)
     gen_trajectories(
         out_dir=args.out, n_routes=args.routes, n_eps=args.eps,
         max_steps=args.max_steps, with_cameras=not args.no_cameras,
+        scene_kwargs=dict(town=args.town) if args.town else None,
     )
 
 

@@ -75,44 +75,76 @@ def make_presets():
         scene=dict(town="Town01"),
         demo_steps=4000,
     )
-    return {"smoke": smoke, "reference": reference, "town01": town01}
+    # multi-lane towns (VERDICT r3 item #3): same benchmark shape as
+    # town01 — the Town03/Town04 blocks of routes_training.xml, route 3
+    # held out. CHANGELANE legs in these packs exercise commands 5/6.
+    town03 = dict(
+        env=EnvConfig(train=True),
+        model=ModelConfig(),
+        train=TrainConfig(n_envs=10),
+        scene=dict(town="Town03"),
+        demo_steps=4000,
+    )
+    town04 = dict(
+        env=EnvConfig(train=True),
+        model=ModelConfig(),
+        train=TrainConfig(n_envs=10),
+        scene=dict(town="Town04"),
+        demo_steps=4000,
+    )
+    return {"smoke": smoke, "reference": reference, "town01": town01,
+            "town03": town03, "town04": town04}
 
 
 def run(env_cfg, model_cfg, tcfg, scene_kwargs, demo_steps,
         max_updates=None, log_dir="runs/wdgail", ckpt_dir=None,
         use_sharding=None, profile=False, demo_obey_signals=False,
         eval_all_routes=False, ckpt_keep=2, init_params=None,
-        eval_seeds=1):
+        eval_seeds=1, demo_tree=None):
     scene = make_scene(scene_kwargs)
     writer = MetricsWriter(log_dir)
 
-    # --- expert demos on device (train + held-out val split) ---
-    routes = jnp.asarray(tcfg.routes, jnp.int32)
-    # expert gen runs with a longer episode cap than training
-    # (carla_exp.py:25 uses env_ep_length=6000 vs the training 2400)
-    demo_cfg = dataclasses.replace(
-        env_cfg, train=False, max_time=max(env_cfg.max_time, 600.0),
-        # demos always run under leaderboard termination — a dagger
-        # training terminal (ends on red/stop) would cut expert episodes
-        # before route completion and leave no valid demos
-        terminal_mode="leaderboard",
-    )
-    demos = generate_demos(
-        scene, demo_cfg, jax.random.PRNGKey(1337), routes, demo_steps,
-        obey_signals=demo_obey_signals,
-    )
-    demos_val = generate_demos(
-        scene, demo_cfg, jax.random.PRNGKey(7331),
-        jnp.asarray([tcfg.eval_route], jnp.int32), demo_steps,
-        obey_signals=demo_obey_signals,
-    )
-    # cap the train buffer near the reference's demo size (~7200 steps,
-    # params_variable.json:13-14 routes x ~720-step episodes); valid steps
-    # beyond the cap would only cost HBM
-    expert = build_expert_buffer(scene, env_cfg, demos, max_size=12288)
-    expert_val = build_expert_buffer(
-        scene, env_cfg, demos_val, size=min(1024, expert.size)
-    )
+    if demo_tree:
+        # --- expert demos from a gail_experts/ PNG tree on disk (the
+        # reference's actual input path, wdail_carla.py + ExpertDataset
+        # algo/wdgail.py:192-241); obs are materialised so nothing ever
+        # re-renders ---
+        from gail_carla_tpu.tools.expert_dataset import (
+            expert_buffer_from_tree,
+        )
+
+        expert = expert_buffer_from_tree(demo_tree, tcfg.routes)
+        expert_val = expert_buffer_from_tree(
+            demo_tree, [tcfg.eval_route]
+        )
+    else:
+        # --- expert demos on device (train + held-out val split) ---
+        routes = jnp.asarray(tcfg.routes, jnp.int32)
+        # expert gen runs with a longer episode cap than training
+        # (carla_exp.py:25 uses env_ep_length=6000 vs the training 2400)
+        demo_cfg = dataclasses.replace(
+            env_cfg, train=False, max_time=max(env_cfg.max_time, 600.0),
+            # demos always run under leaderboard termination — a dagger
+            # training terminal (ends on red/stop) would cut expert
+            # episodes before route completion and leave no valid demos
+            terminal_mode="leaderboard",
+        )
+        demos = generate_demos(
+            scene, demo_cfg, jax.random.PRNGKey(1337), routes, demo_steps,
+            obey_signals=demo_obey_signals,
+        )
+        demos_val = generate_demos(
+            scene, demo_cfg, jax.random.PRNGKey(7331),
+            jnp.asarray([tcfg.eval_route], jnp.int32), demo_steps,
+            obey_signals=demo_obey_signals,
+        )
+        # cap the train buffer near the reference's demo size (~7200
+        # steps, params_variable.json:13-14 routes x ~720-step episodes);
+        # valid steps beyond the cap would only cost HBM
+        expert = build_expert_buffer(scene, env_cfg, demos, max_size=12288)
+        expert_val = build_expert_buffer(
+            scene, env_cfg, demos_val, size=min(1024, expert.size)
+        )
     print(f"expert buffer: {expert.size} transitions "
           f"(+{expert_val.size} val)", file=sys.stderr)
 
@@ -287,6 +319,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=None,
                    help="training seed (TrainConfig.seed: net init, "
                         "rollout sampling, demo generation)")
+    p.add_argument("--demo-tree", default=None,
+                   help="train from an on-disk gail_experts/ PNG tree "
+                        "(tools/gen_trajectories.py output — the "
+                        "reference's ExpertDataset input format) instead "
+                        "of generating demos on device")
     args = p.parse_args(argv)
 
     preset = make_presets()[args.preset]
@@ -328,6 +365,7 @@ def main(argv=None):
         eval_all_routes=args.eval_all_routes,
         init_params=args.init_params,
         eval_seeds=args.eval_seeds,
+        demo_tree=args.demo_tree,
     )
 
 
