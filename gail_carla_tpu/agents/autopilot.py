@@ -125,11 +125,10 @@ def autopilot_act(
         from gail_carla_tpu.sim.rewards import hazard_vehicle, hazard_walker
 
         ego = world.ego
-        tl_states = signals.light_states(
-            scene, world.step.astype(jnp.float32) * 0.1
-        )
+        t_now = world.step.astype(jnp.float32) * 0.1
+        tl_states = signals.light_states(scene, t_now)
         state, loc, idx = signals.affecting_light(
-            scene, ego.xy, ego.yaw, tl_states, dist_threshold=40.0
+            scene, ego.xy, ego.yaw, tl_states, dist_threshold=50.0
         )
 
         # Coast-to-stop speed cap: the action space has no brake
@@ -140,9 +139,48 @@ def autopilot_act(
                 2.0 * a * jnp.maximum(dist - margin, 0.0)
             )
 
-        red = (state == signals.RED) | (state == signals.YELLOW)
+        # Stop-or-commit decision. Reacting to the CURRENT colour is
+        # wrong with brakeless dynamics: a yellow that catches the ego
+        # 12-44 m out can neither be stopped for (coast-down from 6 m/s
+        # needs ~44 m) nor cleared before red (yellow is 2 s) — the old
+        # always-coast-on-yellow rule crossed on red deterministically.
+        # Phases are pure functions of time (signals.light_states), so
+        # predict the colour at the instant the ego's TAIL would clear
+        # the stop line if it commits at target speed (+0.5 s margin so
+        # a late-yellow prediction counts as red), and start coasting —
+        # possibly while still green — only when that predicted colour
+        # is red AND the stop is still dynamically feasible; once past
+        # the point of no return, commit through instead of creeping
+        # across on red.
+        d_line = jnp.linalg.norm(loc)
+        found = idx >= 0
+        # kinematic time-to-clear: accelerate from the current speed at
+        # ~1 m/s^2 (the observed full-throttle ramp near 5 m/s), then
+        # cruise — an instant-target-speed model is too optimistic when
+        # the ego spawns or exits a slow turn near a light, and commits
+        # to crossings it can't make
+        d_tail = d_line + 6.5
+        v0 = jnp.maximum(ego.speed, 0.0)
+        a_acc = 1.0
+        t_ramp = jnp.maximum(tspeed - v0, 0.0) / a_acc
+        d_ramp = (jnp.square(tspeed) - jnp.square(v0)) / (2.0 * a_acc)
+        t_clear = jnp.where(
+            d_tail <= d_ramp,
+            (jnp.sqrt(jnp.square(v0) + 2.0 * a_acc * d_tail) - v0) / a_acc,
+            t_ramp + (d_tail - jnp.maximum(d_ramp, 0.0))
+            / jnp.maximum(tspeed, 1.0),
+        ) + 0.5
+        state_at_clear = signals.light_states(scene, t_now + t_clear)[
+            jnp.maximum(idx, 0)
+        ]
+        want_stop = (state == signals.RED) | (
+            state_at_clear == signals.RED
+        )
+        can_stop = d_line > (
+            jnp.square(ego.speed) / (2.0 * 0.45) + 2.5
+        )
         spd_rl = jnp.where(
-            red, cap(jnp.linalg.norm(loc), 4.0), tspeed
+            found & want_stop & can_stop, cap(d_line, 4.0), tspeed
         )
 
         ss_active = (world.stop_target >= 0) & (~world.stop_completed)
