@@ -163,8 +163,11 @@ def load_town_geometry(
     geo = _extract(town, max_err_px)
     if cache:
         os.makedirs(CACHE_DIR, exist_ok=True)
+        # write-then-rename so an interrupted process can't leave a
+        # truncated npz behind for the next reader
+        tmp = f"{path}.tmp.{os.getpid()}"
         np.savez_compressed(
-            path,
+            tmp,
             world_offset=geo.world_offset,
             bnd_ab=geo.bnd_ab, bnd_dmax=geo.bnd_dmax,
             lane_ab=geo.lane_ab, lane_val=geo.lane_val,
@@ -175,5 +178,6 @@ def load_town_geometry(
                 f"sw_{i}": p for i, p in enumerate(geo.sidewalk_paths)
             },
         )
+        os.replace(tmp + ".npz", path)
     _MEM_CACHE[key] = geo
     return geo
