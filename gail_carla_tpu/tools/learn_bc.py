@@ -20,6 +20,16 @@ def main(argv=None):
     p.add_argument("--out", default="runs/bc")
     p.add_argument("--smoke", action="store_true",
                    help="tiny scene + few epochs")
+    p.add_argument("--town", default=None,
+                   help="train on a reconstructed town (e.g. Town01) "
+                        "instead of the procedural benchmark scene")
+    p.add_argument("--obs-mode", default=None, choices=["bev", "bev6"])
+    p.add_argument("--compliant-demos", action="store_true",
+                   help="expert obeys signals when generating demos")
+    p.add_argument("--seed", type=int, default=0,
+                   help="net-init seed (a GAIL stage warm-started from "
+                        "BC params escapes the sit-still local optimum "
+                        "regardless of init seed)")
     args = p.parse_args(argv)
 
     import jax
@@ -41,6 +51,15 @@ def main(argv=None):
                                 head_size=32, dtype="float32")
         epochs = min(args.epochs, 5)
         routes_train, route_eval, demo_steps = (0,), 1, 900
+    elif args.town:
+        from gail_carla_tpu.scene.town_import import make_town_scene
+
+        scene = make_town_scene(args.town)
+        env_cfg = EnvConfig(train=False)
+        model_cfg = ModelConfig()
+        epochs = args.epochs
+        routes_train = (0, 1, 2, 4, 5, 6, 7, 8, 9)
+        route_eval, demo_steps = 3, 4000
     else:
         scene = make_benchmark_scene()
         env_cfg = EnvConfig(train=False)
@@ -48,6 +67,10 @@ def main(argv=None):
         epochs = args.epochs
         routes_train = (0, 1, 2, 4, 5, 6, 7, 8, 9)
         route_eval, demo_steps = 3, 4000
+    if args.obs_mode:
+        import dataclasses
+
+        env_cfg = dataclasses.replace(env_cfg, obs_mode=args.obs_mode)
 
     if args.experts_dir:
         from gail_carla_tpu.tools.expert_dataset import (
@@ -60,17 +83,20 @@ def main(argv=None):
         demos = generate_demos(
             scene, env_cfg, jax.random.PRNGKey(1337),
             jnp.asarray(routes_train, jnp.int32), demo_steps,
+            obey_signals=args.compliant_demos,
         )
         demos_eval = generate_demos(
             scene, env_cfg, jax.random.PRNGKey(7331),
             jnp.asarray([route_eval], jnp.int32), demo_steps,
+            obey_signals=args.compliant_demos,
         )
         train_buf = build_expert_buffer(scene, env_cfg, demos)
         eval_buf = build_expert_buffer(scene, env_cfg, demos_eval)
 
+    n_ch = 6 if env_cfg.obs_mode == "bev6" else 3
     net, params = init_policy(
-        jax.random.PRNGKey(0), model_cfg,
-        (3, env_cfg.bev_width, env_cfg.bev_width),
+        jax.random.PRNGKey(args.seed), model_cfg,
+        (n_ch, env_cfg.bev_width, env_cfg.bev_width),
     )
     best_params, best_loss = learn_bc(
         scene, env_cfg, net, params, train_buf, eval_buf,

@@ -319,6 +319,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=None,
                    help="training seed (TrainConfig.seed: net init, "
                         "rollout sampling, demo generation)")
+    p.add_argument("--eval-interval", type=int, default=None,
+                   help="updates between leaderboard evals / checkpoints "
+                        "(TrainConfig.eval_interval, default 3)")
     p.add_argument("--demo-tree", default=None,
                    help="train from an on-disk gail_experts/ PNG tree "
                         "(tools/gen_trajectories.py output — the "
@@ -342,6 +345,8 @@ def main(argv=None):
         tcfg = dataclasses.replace(tcfg, gail_use_linear_lr_decay=True)
     if args.norm_gail_reward:
         tcfg = dataclasses.replace(tcfg, gail_norm_reward=True)
+    if args.eval_interval:
+        tcfg = dataclasses.replace(tcfg, eval_interval=args.eval_interval)
     if args.max_updates and (args.disc_lr_decay
                              or tcfg.use_linear_lr_decay):
         # LR schedules decay over n_updates = num_env_steps / num_steps;
