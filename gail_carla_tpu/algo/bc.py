@@ -91,20 +91,23 @@ def learn_bc(
     """Full BC run; returns (best_params, best_eval_loss)."""
     optimizer = make_bc_optimizer()
     opt_state = optimizer.init(params)
+    # expert buffers ride as jit ARGUMENTS: closed-over they become HLO
+    # constants, and the remote compiler rejects large constant payloads
     epoch_fn = jax.jit(
-        lambda p, o, k: bc_epoch(
-            scene, env_cfg, net, p, optimizer, o, expert_train, k,
-            batch_size,
+        lambda p, o, buf, k: bc_epoch(
+            scene, env_cfg, net, p, optimizer, o, buf, k, batch_size,
         )
     )
     eval_fn = jax.jit(
-        lambda p: bc_eval(scene, env_cfg, net, p, expert_eval)
+        lambda p, buf: bc_eval(scene, env_cfg, net, p, buf)
     )
     best = (params, float("inf"))
     for e in range(epochs):
         rng, k = jax.random.split(rng)
-        params, opt_state, train_loss = epoch_fn(params, opt_state, k)
-        eval_loss = float(eval_fn(params))
+        params, opt_state, train_loss = epoch_fn(
+            params, opt_state, expert_train, k
+        )
+        eval_loss = float(eval_fn(params, expert_eval))
         if eval_loss < best[1]:
             best = (params, eval_loss)
         if log_fn:

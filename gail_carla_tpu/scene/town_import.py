@@ -867,6 +867,55 @@ def build_town_graph(
     for k, e in enumerate(edges):
         adjacency.setdefault(e.src, []).append(k)
 
+    # --- signal phase-coherence post-pass (geometry untouched) ---
+    # The greedy 15-m corner clustering fragments large junctions
+    # (Town03+) into several junction ids with INDEPENDENT phases, so one
+    # crossing can legally cross 2-3 foreign red stop lines back to back;
+    # crossing-derived phantom clusters also duplicate real lights at
+    # identical poses. Union junction ids whose lights sit within one
+    # junction's extent, drop the duplicates, and re-derive phase groups
+    # against the merged junction's principal axis (the real map gives one
+    # controller per junction — traffic_light.py:79-111).
+    if lights:
+        centers = np.array([0.5 * (t.stop_a + t.stop_b) for t in lights])
+        jids = [t.junction for t in lights]
+        parent = {j: j for j in set(jids)}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(len(lights)):
+            for k in range(i + 1, len(lights)):
+                if jids[i] != jids[k] and float(np.linalg.norm(
+                    centers[i] - centers[k]
+                )) < 20.0:
+                    a, b = find(jids[i]), find(jids[k])
+                    if a != b:
+                        parent[max(a, b)] = min(a, b)
+        deduped: List[TrafficLightFixture] = []
+        principal: Dict[int, float] = {}
+        for i, t in enumerate(lights):
+            j = find(t.junction)
+            if any(
+                m.junction == j and float(np.linalg.norm(
+                    0.5 * (m.stop_a + m.stop_b) - centers[i]
+                )) < 4.0 and abs(_wrap(m.yaw - t.yaw)) < 0.6
+                for m in deduped
+            ):
+                continue
+            p = principal.setdefault(j, t.yaw)
+            group = (
+                0 if abs(math.cos(t.yaw - p)) > math.cos(math.pi / 4)
+                else 1
+            )
+            deduped.append(
+                dataclasses.replace(t, junction=j, group=group)
+            )
+        lights = deduped
+
     return LaneGraph(
         nodes=np.array(snap.nodes).reshape(-1, 2),
         edges=edges,
