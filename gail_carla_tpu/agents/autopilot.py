@@ -127,8 +127,53 @@ def autopilot_act(
         ego = world.ego
         t_now = world.step.astype(jnp.float32) * 0.1
         tl_states = signals.light_states(scene, t_now)
-        state, loc, idx = signals.affecting_light(
-            scene, ego.xy, ego.yaw, tl_states, dist_threshold=50.0
+        state_f, loc_f, idx_f = signals.affecting_light(
+            scene, ego.xy, ego.yaw, tl_states, dist_threshold=50.0,
+            lateral_slack=0.6,
+        )
+        # Route-scan detection: the pose-based affecting_light query only
+        # sees a light once the ego projects onto its 1.2-lane stop span,
+        # which on curved approaches (Town03+) happens 8-25 m out — past
+        # the brakeless point of no return. The expert KNOWS its dense
+        # route, so scan the next ~64 m of it for the first stop line it
+        # actually crosses (in the line's inbound direction) and measure
+        # the distance ALONG the route (euclidean underestimates on
+        # curves). Pose-based detection stays as the fallback.
+        W = 64
+        win = jax.lax.dynamic_slice(
+            scene.route_xy, (world.route_id, world.head, 0), (1, W + 1, 2)
+        )[0]
+        wa, wb = win[:-1], win[1:]
+        seglen = jnp.linalg.norm(wb - wa, axis=-1)
+        cum = jnp.cumsum(seglen) - seglen
+        segdir = jnp.arctan2(wb[:, 1] - wa[:, 1], wb[:, 0] - wa[:, 0])
+        tl_a, tl_b = scene.tl_stop[:, 0], scene.tl_stop[:, 1]
+        inter = signals.segments_intersect(
+            wa[:, None, :], wb[:, None, :], tl_a[None], tl_b[None]
+        )
+        tl_ok = (
+            (jnp.cos(scene.tl_yaw[None, :] - segdir[:, None]) > 0.5)
+            & (seglen[:, None] > 1e-3)
+            & (jnp.arange(tl_a.shape[0]) < scene.tl_n)[None, :]
+        )
+        valid_wt = inter & tl_ok
+        any_w = jnp.any(valid_wt, axis=1)
+        found_r = jnp.any(any_w)
+        first_w = jnp.argmax(any_w)
+        idx_r = jnp.argmax(valid_wt[first_w])
+        d_route = (
+            cum[first_w]
+            + jnp.linalg.norm(win[0] - ego.xy)
+            + 0.5 * seglen[first_w]
+        )
+        found_f = idx_f >= 0
+        idx = jnp.where(found_r, idx_r, jnp.where(found_f, idx_f, -1))
+        d_found = jnp.where(
+            found_r, d_route, jnp.linalg.norm(loc_f)
+        )
+        state = jnp.where(
+            found_r, tl_states[idx_r],
+            jnp.where(found_f, state_f, -1),
         )
 
         # Coast-to-stop speed cap: the action space has no brake
@@ -152,7 +197,7 @@ def autopilot_act(
         # is red AND the stop is still dynamically feasible; once past
         # the point of no return, commit through instead of creeping
         # across on red.
-        d_line = jnp.linalg.norm(loc)
+        d_line = d_found
         found = idx >= 0
         # kinematic time-to-clear: accelerate from the current speed at
         # ~1 m/s^2 (the observed full-throttle ramp near 5 m/s), then

@@ -32,9 +32,10 @@ def run_red_light(
     ego: VehicleState,
     states,               # (T,) light states this tick
     last_red_light,       # () i32
+    last_cross_light=None,  # () i32 last stop line crossed at ANY colour
     distance_light: float = 30.0,
 ):
-    """Returns (last_red_light', ran_now (bool))."""
+    """Returns (last_red_light', last_cross_light', ran_now (bool))."""
     fwd = jnp.stack([jnp.cos(ego.yaw), jnp.sin(ego.yaw)])
     tail_close = ego.xy - 0.8 * params.half_length * fwd
     tail_far = ego.xy - (params.half_length + 1.0) * fwd
@@ -43,7 +44,25 @@ def run_red_light(
     near = jnp.linalg.norm(center - ego.xy[None, :], axis=-1) < distance_light
     red = states == signals.RED
     not_last = jnp.arange(states.shape[0]) != last_red_light
-    aligned = jnp.cos(scene.tl_yaw - ego.yaw) > 0.0
+    # within 60 deg of the light's inbound direction: a turning route
+    # sweeping through a large skewed junction (Town03+) momentarily
+    # aligns with OTHER approaches' stop lines; CARLA scores only the
+    # light governing the ego's own lane (traffic_light.py:113-156)
+    aligned = jnp.cos(scene.tl_yaw - ego.yaw) > 0.5
+    # one red per junction traversal: after scoring a light, its
+    # junction's remaining stop lines stay unscoreable until the ego has
+    # left the junction area (a single crossing of a big junction
+    # geometrically intersects several foreign entry lines)
+    safe_last = jnp.maximum(last_red_light, 0)
+    last_ju = jnp.where(
+        last_red_light >= 0, scene.tl_junction[safe_last], -2
+    )
+    d_last = jnp.linalg.norm(center[safe_last] - ego.xy)
+    same_junc_near = (
+        (scene.tl_junction == last_ju)
+        & (d_last < 40.0)
+        & (last_red_light >= 0)
+    )
     # lane containment of the tail (replaces the road/lane id equality test)
     a = scene.tl_stop[:, 0]
     b = scene.tl_stop[:, 1]
@@ -56,12 +75,34 @@ def run_red_light(
     crossing = signals.segments_intersect(
         tail_close[None, :], tail_far[None, :], a, b
     )
-    hit = near & red & not_last & aligned & in_lane & crossing
-    hit = hit & (jnp.arange(states.shape[0]) < scene.tl_n)
+    live = jnp.arange(states.shape[0]) < scene.tl_n
+    # entering-the-junction gate: once the ego has crossed ANY stop line
+    # of junction J (green entry included), J's remaining interior lines
+    # are not scoreable until the ego has left J — a route through a big
+    # junction geometrically crosses the other approaches' lines, which
+    # in CARLA carry no trigger volume over the interior
+    if last_cross_light is None:
+        last_cross_light = jnp.full((), -1, jnp.int32)
+    safe_cross = jnp.maximum(last_cross_light, 0)
+    cross_ju = jnp.where(
+        last_cross_light >= 0, scene.tl_junction[safe_cross], -2
+    )
+    d_cross = jnp.linalg.norm(center[safe_cross] - ego.xy)
+    inside_junc = (
+        (scene.tl_junction == cross_ju)
+        & (d_cross < 40.0)
+        & (last_cross_light >= 0)
+    )
+    crossed_any = near & aligned & in_lane & crossing & live
+    hit = (crossed_any & red & not_last & ~same_junc_near & ~inside_junc)
     any_hit = jnp.any(hit)
     idx = jnp.argmax(hit)
     last = jnp.where(any_hit, idx, last_red_light).astype(jnp.int32)
-    return last, any_hit
+    any_cross = jnp.any(crossed_any)
+    last_cross = jnp.where(
+        any_cross, jnp.argmax(crossed_any), last_cross_light
+    ).astype(jnp.int32)
+    return last, last_cross, any_hit
 
 
 class StopSignState(NamedTuple):

@@ -135,6 +135,7 @@ def reset_env(
         stop_affected=jnp.zeros((), bool),
         encountered_light=jnp.full((), -1, jnp.int32),
         last_red_light=jnp.full((), -1, jnp.int32),
+        last_cross_light=jnp.full((), -1, jnp.int32),
         speed_q=jnp.zeros((10,)),
         speed_q_len=zi,
         stuck_counter=zi,
@@ -320,8 +321,9 @@ def step_env(
 
     # --- signal criteria ---
     tl_states = signals.light_states(scene, sim_time)
-    last_red_light, ran_red = crit.run_red_light(
-        scene, params, ego, tl_states, state.last_red_light
+    last_red_light, last_cross_light, ran_red = crit.run_red_light(
+        scene, params, ego, tl_states, state.last_red_light,
+        state.last_cross_light,
     )
     route_pts = jax.lax.dynamic_slice(
         scene.route_xy, (rid, head, 0), (1, 20, 2)
@@ -470,6 +472,7 @@ def step_env(
         stop_affected=ss_state.affected,
         encountered_light=encountered_light,
         last_red_light=last_red_light,
+        last_cross_light=last_cross_light,
         speed_q=speed_q,
         speed_q_len=speed_q_len,
         stuck_counter=stuck_counter,

@@ -42,7 +42,8 @@ def stopline_center(scene: StaticScene):
 
 
 def affecting_light(scene: StaticScene, ego_xy, ego_yaw, states,
-                    offset: float = 0.0, dist_threshold: float = 18.0):
+                    offset: float = 0.0, dist_threshold: float = 18.0,
+                    lateral_slack: float = 0.1):
     """Port of TrafficLightHandler.get_light_state (traffic_light.py:113-156):
     the nearest light whose stop line lies ahead of (ego + offset*fwd),
     heading-aligned and laterally within the line span.
@@ -67,7 +68,11 @@ def affecting_light(scene: StaticScene, ego_xy, ego_yaw, states,
     t = jnp.sum((base[None, :] - a) * ab, -1) / (
         jnp.sum(ab * ab, -1) + 1e-9
     )
-    in_lane = (t > -0.1) & (t < 1.1)
+    # lateral_slack > 0.1 widens the containment band (in lane-span
+    # units): on curved approaches (Town03+) the ego projects outside its
+    # stop line's 1.2-lane span until close, so a compliant agent that
+    # needs early warning to coast down queries with extra slack
+    in_lane = (t > -lateral_slack) & (t < 1.0 + lateral_slack)
 
     valid = aligned & ahead & in_lane & (dist < dist_threshold)
     valid = valid & (jnp.arange(dist.shape[0]) < scene.tl_n)

@@ -88,6 +88,7 @@ class WorldState:
     stop_affected: jnp.ndarray     # () bool entered the trigger volume
     encountered_light: jnp.ndarray  # () i32 last encountered light (-1 none)
     last_red_light: jnp.ndarray    # () i32 last light already scored (-1)
+    last_cross_light: jnp.ndarray  # () i32 last stop line crossed, any colour
     # valeo terminal state (terminal/valeo.py:26-33)
     speed_q: jnp.ndarray           # (10,) f32 recent speeds ring
     speed_q_len: jnp.ndarray       # () i32

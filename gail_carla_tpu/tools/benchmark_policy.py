@@ -28,7 +28,10 @@ def benchmark(ckpt_dir=None, episodes_per_route: int = 1,
     from gail_carla_tpu.train import make_scene
 
     scene = make_scene(scene_kwargs or {})
-    cfg = EnvConfig(train=False, obs_mode=obs_mode)
+    # max_time must track the scan length or the env's own 240 s timeout
+    # terminates episodes regardless of max_steps
+    cfg = EnvConfig(train=False, obs_mode=obs_mode,
+                    max_time=max_steps * 0.1)
     c = 6 if obs_mode == "bev6" else 3
     net, params = init_policy(
         jax.random.PRNGKey(0), ModelConfig(),
@@ -167,13 +170,18 @@ def main(argv=None):
     p.add_argument("--no-obey-signals", action="store_true",
                    help="with --expert: ignore red lights (the "
                         "reference's BasicAgent default)")
+    p.add_argument("--max-steps", type=int, default=2400,
+                   help="episode step cap; Town03+ benchmark routes run "
+                        "1.5-2 km, past what 2400 steps covers at the "
+                        "6 m/s expert cruise (carla_exp.py:25 uses 6000 "
+                        "for demo episodes)")
     args = p.parse_args(argv)
     scene_kwargs = {"town": args.town} if args.town else None
     if scene_kwargs and args.route_file:
         scene_kwargs["route_file"] = args.route_file
     benchmark(args.ckpt, episodes_per_route=args.episodes,
               scene_kwargs=scene_kwargs, obs_mode=args.obs_mode,
-              expert=args.expert,
+              expert=args.expert, max_steps=args.max_steps,
               obey_signals=not args.no_obey_signals)
 
 

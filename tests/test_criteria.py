@@ -44,6 +44,7 @@ def test_run_red_light_fires_once(scene):
     states = jnp.full((scene.tl_stop.shape[0],), signals.RED, jnp.int32)
 
     last = jnp.full((), -1, jnp.int32)
+    cross = jnp.full((), -1, jnp.int32)
     fired = []
     # drive the tail across the stop line in 0.4 m steps
     for d in np.arange(-6.0, 6.0, 0.4):
@@ -51,8 +52,8 @@ def test_run_red_light_fires_once(scene):
             xy=jnp.asarray(center + fwd * d),
             yaw=jnp.asarray(yaw), speed=jnp.asarray(5.0),
         )
-        last, ran = crit.run_red_light(
-            scene, DEFAULT_VEHICLE, ego, states, last
+        last, cross, ran = crit.run_red_light(
+            scene, DEFAULT_VEHICLE, ego, states, last, cross
         )
         fired.append(bool(ran))
     assert sum(fired) == 1, f"expected exactly one crossing event: {fired}"
@@ -60,15 +61,63 @@ def test_run_red_light_fires_once(scene):
     # green light: never fires
     states_g = jnp.full_like(states, signals.GREEN)
     last = jnp.full((), -1, jnp.int32)
+    cross = jnp.full((), -1, jnp.int32)
     for d in np.arange(-6.0, 6.0, 0.4):
         ego = VehicleState(
             xy=jnp.asarray(center + fwd * d),
             yaw=jnp.asarray(yaw), speed=jnp.asarray(5.0),
         )
-        last, ran = crit.run_red_light(
-            scene, DEFAULT_VEHICLE, ego, states_g, last
+        last, cross, ran = crit.run_red_light(
+            scene, DEFAULT_VEHICLE, ego, states_g, last, cross
         )
         assert not bool(ran)
+
+
+def test_red_light_junction_gate(scene):
+    """One junction traversal scores at most one red, and a green entry
+    immunises the junction's interior foreign stop lines (Town03-class
+    geometry: a route through a big junction geometrically crosses other
+    approaches' lines — CARLA's trigger volumes never cover the interior,
+    traffic_light.py:113-156)."""
+    ju = np.asarray(scene.tl_junction[: scene.tl_n])
+    counts = {int(j): int((ju == j).sum()) for j in set(ju.tolist())}
+    j = next(j for j, c in counts.items() if c >= 2)
+    ids = np.nonzero(ju == j)[0][:2]
+    t0, t1 = int(ids[0]), int(ids[1])
+    states = jnp.full((scene.tl_stop.shape[0],), signals.RED, jnp.int32)
+
+    def cross_line(tl, last, cross, states):
+        a = np.asarray(scene.tl_stop[tl, 0])
+        b = np.asarray(scene.tl_stop[tl, 1])
+        yaw = float(scene.tl_yaw[tl])
+        center = 0.5 * (a + b)
+        fwd = np.array([np.cos(yaw), np.sin(yaw)])
+        n = 0
+        for d in np.arange(-6.0, 6.0, 0.4):
+            ego = VehicleState(
+                xy=jnp.asarray(center + fwd * d),
+                yaw=jnp.asarray(yaw), speed=jnp.asarray(5.0),
+            )
+            last, cross, ran = crit.run_red_light(
+                scene, DEFAULT_VEHICLE, ego, states, last, cross
+            )
+            n += int(bool(ran))
+        return last, cross, n
+
+    # both lines red, crossed back to back: only the first scores
+    last = jnp.full((), -1, jnp.int32)
+    cross = jnp.full((), -1, jnp.int32)
+    last, cross, n0 = cross_line(t0, last, cross, states)
+    last, cross, n1 = cross_line(t1, last, cross, states)
+    assert n0 == 1 and n1 == 0, (n0, n1)
+
+    # green entry at t0, red at t1: the traversal still scores nothing
+    states_mixed = states.at[t0].set(signals.GREEN)
+    last = jnp.full((), -1, jnp.int32)
+    cross = jnp.full((), -1, jnp.int32)
+    last, cross, n0 = cross_line(t0, last, cross, states_mixed)
+    last, cross, n1 = cross_line(t1, last, cross, states_mixed)
+    assert n0 == 0 and n1 == 0, (n0, n1)
 
 
 def _drive_through_stop(scene, sign, speeds):
