@@ -1058,7 +1058,35 @@ def make_town_scene(
             dataclasses.replace(r, route_id=i) for i, r in enumerate(kept)
         ]
         if geometry is not None:
-            dense = [repair_dense_route(d, geometry) for d in dense]
+            from gail_carla_tpu.scene import mask_geo
+
+            fixed = []
+            for r, d0 in zip(bench, dense):
+                dr = repair_dense_route(d0, geometry)
+                sd = mask_geo.boundary_signed_distance(
+                    geometry.bnd_ab, dr.xy
+                )
+                if float(sd.min()) < -3.0 and len(r.waypoints) >= 4:
+                    # a still-deep off-road span means the geometric leg
+                    # reconstruction cut across ground the road never
+                    # covers (winding Town03+ legs between far-apart
+                    # waypoints) — projection repair cannot recover a
+                    # 20 m excursion. Re-plan the whole route through
+                    # the evidence lane graph instead, like the bare
+                    # start/goal packs (GlobalRoutePlanner semantics).
+                    try:
+                        dr = repair_dense_route(
+                            trace_route(graph, r.waypoints, use_yaw=True),
+                            geometry,
+                        )
+                    except RuntimeError:
+                        print(
+                            f"make_town_scene: route {r.route_id} keeps "
+                            f"an off-road span (graph re-plan failed)",
+                            file=sys.stderr,
+                        )
+                fixed.append(dr)
+            dense = fixed
         _TOWN_SCENE_CACHE[key] = build_scene(
             graph, bench, dense=dense, route_pts_pad=route_pts_pad,
             n_patrols=n_patrols, geometry=geometry,
