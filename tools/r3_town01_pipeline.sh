@@ -1,0 +1,61 @@
+#!/bin/bash
+# Round-3 Town01 two-seed reproduction pipeline (VERDICT r2 next-step #2).
+#
+# Recipe per seed (documented in RESULTS.md "Round 3: Town01 driving score
+# to the expert ceiling"):
+#   0. BC-pretrain the policy init on the compliant demo set (escapes the
+#      sit-still local optimum any fresh GAIL seed can hatch into)
+#   1. stage 1: leaderboard-terminal WDGAIL, bev6 obs, compliant demos,
+#      WGAN stabilizers (disc LR decay + shifted-reward normalization)
+#   2. stage 2: leaderboard_dagger warm start from stage-1 best params,
+#      gail_reward_shift 2.5, same stabilizers
+#   3. final 5-seed-per-route leaderboard eval -> docs/results JSON
+#
+# Runs seeds sequentially (one chip). Usage: bash tools/r3_town01_pipeline.sh
+set -u
+cd /root/repo
+mkdir -p docs/results/logs docs/results/ckpts
+
+for SEED in 0 1; do
+  BC=runs/r3b_bc_s${SEED}
+  S1=runs/r3b_s${SEED}_stage1
+  S2=runs/r3b_s${SEED}_stage2
+
+  if [ ! -d "$BC/best" ]; then
+    echo "=== seed $SEED: BC pretrain ==="
+    python -m gail_carla_tpu.tools.learn_bc --town Town01 --obs-mode bev6 \
+      --compliant-demos --seed $SEED --epochs 120 --out $BC \
+      > docs/results/logs/r3b_bc_s${SEED}.log 2>&1 || exit 1
+  fi
+
+  if [ ! -d "$S1/ckpt/best_params" ]; then
+    echo "=== seed $SEED: stage 1 (leaderboard) ==="
+    python -m gail_carla_tpu.train --preset town01 --obs-mode bev6 \
+      --compliant-demos --eval-all-routes --eval-seeds 2 \
+      --disc-lr-decay --norm-gail-reward --seed $SEED \
+      --init-params $BC/best --max-updates 130 \
+      --log-dir $S1 --ckpt-dir $S1/ckpt \
+      > docs/results/logs/r3b_s${SEED}_stage1.log 2>&1 || exit 1
+  fi
+
+  if [ ! -d "$S2/ckpt/best_params" ]; then
+    echo "=== seed $SEED: stage 2 (dagger warm start) ==="
+    python -m gail_carla_tpu.train --preset town01 --obs-mode bev6 \
+      --compliant-demos --eval-all-routes --eval-seeds 2 \
+      --terminal-mode leaderboard_dagger --gail-reward-shift 2.5 \
+      --disc-lr-decay --norm-gail-reward --seed $SEED \
+      --init-params $S1/ckpt/best_params --max-updates 110 \
+      --log-dir $S2 --ckpt-dir $S2/ckpt \
+      > docs/results/logs/r3b_s${SEED}_stage2.log 2>&1 || exit 1
+  fi
+
+  echo "=== seed $SEED: final 5-seed leaderboard eval ==="
+  python -m gail_carla_tpu.tools.benchmark_policy --town Town01 \
+    --obs-mode bev6 --episodes 5 --ckpt $S2/ckpt/best_params \
+    > docs/results/r3_leaderboard_s${SEED}_best.json \
+    2> docs/results/logs/r3b_s${SEED}_finaleval.log || exit 1
+
+  # keep the policy params (small) as a committable artifact
+  cp -r $S2/ckpt/best_params docs/results/ckpts/r3_town01_s${SEED}_best_params
+done
+echo "pipeline done"
