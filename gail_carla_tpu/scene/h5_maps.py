@@ -129,6 +129,28 @@ def _extract(town: str, max_err_px: float) -> TownGeometry:
     )
 
 
+_ROAD_MASK_CACHE = {}
+
+
+def road_mask(town: str):
+    """Raw ``road`` layer (bool) + world offset, for the mask-grid fallback
+    planner (``mask_geo.plan_on_mask``). None if the pack is absent."""
+    if town not in _ROAD_MASK_CACHE:
+        if not os.path.exists(_h5_path(town)):
+            _ROAD_MASK_CACHE[town] = None
+        else:
+            import h5py
+
+            with h5py.File(_h5_path(town), "r") as hf:
+                _ROAD_MASK_CACHE[town] = (
+                    np.asarray(hf["road"]) > 0,
+                    np.asarray(
+                        hf.attrs["world_offset_in_meters"], np.float64
+                    ),
+                )
+    return _ROAD_MASK_CACHE[town]
+
+
 _MEM_CACHE = {}
 
 

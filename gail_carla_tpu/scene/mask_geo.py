@@ -478,3 +478,135 @@ def mask_ribbon_paths(
             axis=1,
         ))
     return out
+
+
+def plan_on_mask(
+    mask: np.ndarray,
+    offset: np.ndarray,
+    ppm: float,
+    a: np.ndarray,
+    b: np.ndarray,
+    margin_m: float = 80.0,
+    cell_m: float = 1.0,
+    center_bias: float = 4.0,
+    step_m: float = 1.0,
+):
+    """Shortest on-mask path between world points ``a`` and ``b`` as a
+    smoothed world polyline, or None if the mask does not connect them.
+
+    The fallback route planner for legs the evidence lane graph cannot
+    connect (the reference recovers these from the OpenDRIVE map via
+    ``GlobalRoutePlanner.trace_route``, ``global_route_planner.py:26-63``;
+    without the map, the shipped H5 ``road`` mask is the only ground truth
+    covering roads no evidence route traverses). A* runs on a coarse grid
+    (``cell_m`` metres/cell, majority-road cells passable) cropped to the
+    leg's bbox + ``margin_m``; a distance-transform cost bias pulls the
+    path toward the road centre so the smoothed polyline stays drivable.
+    """
+    import heapq
+
+    off = np.asarray(offset, np.float64)
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    coarse = max(int(round(cell_m * ppm)), 1)
+
+    # crop bbox in fine pixels, aligned to the coarse grid
+    lo = (np.minimum(a, b) - off) * ppm - margin_m * ppm
+    hi = (np.maximum(a, b) - off) * ppm + margin_m * ppm
+    x0 = max(int(lo[0]) // coarse * coarse, 0)
+    y0 = max(int(lo[1]) // coarse * coarse, 0)
+    x1 = min(int(hi[0]) + coarse, mask.shape[1])
+    y1 = min(int(hi[1]) + coarse, mask.shape[0])
+    crop = mask[y0:y1, x0:x1]
+    if crop.size == 0:
+        return None
+    gh = crop.shape[0] // coarse
+    gw = crop.shape[1] // coarse
+    if gh < 2 or gw < 2:
+        return None
+    pooled = crop[: gh * coarse, : gw * coarse].reshape(
+        gh, coarse, gw, coarse
+    ).mean(axis=(1, 3))
+    grid = pooled > 0.5
+
+    # centre bias: cells far from the road edge are cheaper
+    dt = ndimage.distance_transform_edt(grid)
+    cost = 1.0 + center_bias / (1.0 + dt)
+
+    def to_cell(p):
+        g = ((p - off) * ppm - np.array([x0, y0])) / coarse
+        return np.array([g[1], g[0]])  # (row, col)
+
+    def snap(c):
+        ci = np.clip(np.round(c).astype(int), 0, [gh - 1, gw - 1])
+        if grid[ci[0], ci[1]]:
+            return tuple(ci)
+        ys, xs = np.nonzero(grid)
+        if len(ys) == 0:
+            return None
+        k = np.argmin((ys - c[0]) ** 2 + (xs - c[1]) ** 2)
+        if (ys[k] - c[0]) ** 2 + (xs[k] - c[1]) ** 2 > (8.0 / cell_m) ** 2:
+            return None
+        return (int(ys[k]), int(xs[k]))
+
+    start = snap(to_cell(a))
+    goal = snap(to_cell(b))
+    if start is None or goal is None:
+        return None
+
+    nbrs = [(-1, -1, math.sqrt(2)), (-1, 0, 1.0), (-1, 1, math.sqrt(2)),
+            (0, -1, 1.0), (0, 1, 1.0),
+            (1, -1, math.sqrt(2)), (1, 0, 1.0), (1, 1, math.sqrt(2))]
+    best = np.full((gh, gw), np.inf)
+    best[start] = 0.0
+    prev = {}
+    # heap entries carry their own g: comparing a recomputed f-h against
+    # best[] is 1-ulp fragile and can prune fresh entries
+    heap = [(0.0, 0.0, start)]
+    while heap:
+        f, g, cur = heapq.heappop(heap)
+        if cur == goal:
+            break
+        cy, cx = cur
+        if g > best[cy, cx]:
+            continue  # stale entry
+        for dy, dx, w in nbrs:
+            ny, nx = cy + dy, cx + dx
+            if not (0 <= ny < gh and 0 <= nx < gw) or not grid[ny, nx]:
+                continue
+            ng = g + w * 0.5 * (cost[cy, cx] + cost[ny, nx])
+            if ng < best[ny, nx]:
+                best[ny, nx] = ng
+                prev[(ny, nx)] = cur
+                heapq.heappush(
+                    heap,
+                    (ng + math.hypot(goal[0] - ny, goal[1] - nx), ng,
+                     (ny, nx)),
+                )
+    if not np.isfinite(best[goal]):
+        return None
+    cells = [goal]
+    while cells[-1] != start:
+        cells.append(prev[cells[-1]])
+    cells.reverse()
+    rc = np.asarray(cells, np.float64)
+    # cell centres -> world; pin the exact endpoints
+    w = np.empty_like(rc)
+    w[:, 0] = (x0 + (rc[:, 1] + 0.5) * coarse) / ppm + off[0]
+    w[:, 1] = (y0 + (rc[:, 0] + 0.5) * coarse) / ppm + off[1]
+    w[0], w[-1] = a, b
+
+    # smooth the staircase (keep endpoints), then resample at step_m
+    for _ in range(3):
+        if len(w) > 4:
+            w[1:-1] = 0.25 * w[:-2] + 0.5 * w[1:-1] + 0.25 * w[2:]
+    d = np.linalg.norm(np.diff(w, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(d)])
+    if s[-1] < 1e-6:
+        return None
+    n = max(int(round(s[-1] / step_m)), 2)
+    s_new = np.linspace(0.0, s[-1], n + 1)
+    return np.stack(
+        [np.interp(s_new, s, w[:, 0]), np.interp(s_new, s, w[:, 1])],
+        axis=1,
+    )

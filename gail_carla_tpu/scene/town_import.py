@@ -992,6 +992,89 @@ def repair_dense_route(dense: DenseRoute, geometry,
     )
 
 
+def splice_offroad_spans(
+    dense: DenseRoute, geometry, mask: np.ndarray, mask_off: np.ndarray,
+    depth: float = 3.0, clearance: float = 1.0,
+) -> DenseRoute:
+    """Replace every deep off-road excursion of a dense route with an A*
+    path planned directly on the H5 ``road`` mask (``plan_on_mask``).
+
+    Last-resort repair for Town03+ legs where neither endpoint-pose
+    reconstruction (``densify_leg``) nor the evidence lane graph covers the
+    ground the route actually drives (the reference pulls this geometry
+    from the OpenDRIVE map, ``global_route_planner.py:26-63``). Spans where
+    the mask planner finds no connection are left untouched."""
+    from gail_carla_tpu.scene import mask_geo
+    from gail_carla_tpu.scene.h5_maps import PPM
+
+    xy, cmd = dense.xy, dense.cmd
+    sd = mask_geo.boundary_signed_distance(geometry.bnd_ab, xy)
+    bad = sd < -depth
+    if not bad.any():
+        return dense
+
+    # widen each bad region to safe on-road anchors, merge near regions
+    regions = []
+    i = 0
+    n = len(xy)
+    while i < n:
+        if not bad[i]:
+            i += 1
+            continue
+        j = i
+        while j + 1 < n and bad[j + 1]:
+            j += 1
+        ia = i
+        while ia > 0 and sd[ia] < clearance:
+            ia -= 1
+        ib = j
+        while ib < n - 1 and sd[ib] < clearance:
+            ib += 1
+        if regions and ia <= regions[-1][1] + 10:
+            regions[-1][1] = ib
+        else:
+            regions.append([ia, ib])
+        i = j + 1
+
+    pieces_xy, pieces_cmd = [], []
+    pos = 0
+    for ia, ib in regions:
+        path = mask_geo.plan_on_mask(
+            mask, mask_off, PPM, xy[ia], xy[ib]
+        )
+        if path is None:
+            continue
+        pieces_xy.append(xy[pos:ia + 1])
+        pieces_cmd.append(cmd[pos:ia + 1])
+        pieces_xy.append(path[1:-1])
+        pieces_cmd.append(
+            np.full(max(len(path) - 2, 0), int(RoadOption.LANEFOLLOW),
+                    cmd.dtype)
+        )
+        pos = ib
+    pieces_xy.append(xy[pos:])
+    pieces_cmd.append(cmd[pos:])
+    xy = np.concatenate(pieces_xy, axis=0)
+    cmd = np.concatenate(pieces_cmd, axis=0)
+    keep = np.ones(len(xy), dtype=bool)
+    keep[1:] = np.linalg.norm(np.diff(xy, axis=0), axis=1) > 1e-6
+    xy, cmd = xy[keep], cmd[keep]
+
+    d = np.diff(xy, axis=0)
+    yaw_seg = np.arctan2(d[:, 1], d[:, 0])
+    yaw = (
+        np.concatenate([yaw_seg, yaw_seg[-1:]])
+        if len(yaw_seg) else np.zeros(1)
+    )
+    s = np.concatenate([[0.0], np.cumsum(np.linalg.norm(d, axis=1))])
+    plan_idx = _downsample(xy, cmd, sample_factor=50.0)
+    return repair_dense_route(
+        DenseRoute(xy=xy, yaw=yaw, cmd=cmd, s=s,
+                   plan_xy=xy[plan_idx], plan_cmd=cmd[plan_idx]),
+        geometry,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scene assembly
 # ---------------------------------------------------------------------------
@@ -1075,16 +1158,41 @@ def make_town_scene(
                     # the evidence lane graph instead, like the bare
                     # start/goal packs (GlobalRoutePlanner semantics).
                     try:
-                        dr = repair_dense_route(
+                        dr2 = repair_dense_route(
                             trace_route(graph, r.waypoints, use_yaw=True),
                             geometry,
                         )
-                    except RuntimeError:
-                        print(
-                            f"make_town_scene: route {r.route_id} keeps "
-                            f"an off-road span (graph re-plan failed)",
-                            file=sys.stderr,
+                        sd2 = mask_geo.boundary_signed_distance(
+                            geometry.bnd_ab, dr2.xy
                         )
+                        if float(sd2.min()) > float(sd.min()):
+                            dr = dr2
+                    except RuntimeError:
+                        pass
+                    # still deep off-road (re-plan failed or the graph has
+                    # no lanes there): plan the bad spans directly on the
+                    # H5 road mask
+                    sd3 = mask_geo.boundary_signed_distance(
+                        geometry.bnd_ab, dr.xy
+                    )
+                    if float(sd3.min()) < -3.0:
+                        from gail_carla_tpu.scene.h5_maps import road_mask
+
+                        rm = road_mask(town)
+                        if rm is not None:
+                            dr = splice_offroad_spans(
+                                dr, geometry, rm[0], rm[1]
+                            )
+                        sd4 = mask_geo.boundary_signed_distance(
+                            geometry.bnd_ab, dr.xy
+                        )
+                        if float(sd4.min()) < -3.0:
+                            print(
+                                f"make_town_scene: route {r.route_id} "
+                                f"keeps an off-road span "
+                                f"(depth {-float(sd4.min()):.1f} m)",
+                                file=sys.stderr,
+                            )
                 fixed.append(dr)
             dense = fixed
         _TOWN_SCENE_CACHE[key] = build_scene(

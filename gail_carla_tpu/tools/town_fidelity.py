@@ -27,6 +27,14 @@ import numpy as np
 H5_DIR = "/root/reference/carla_gym/core/obs_manager/birdview/maps"
 
 
+# the shipped data file that actually carries each town's benchmark pack
+# (Town02/Town05 routes live only in routes_testing.xml)
+ROUTE_FILE = {
+    "Town02": "routes_testing.xml",
+    "Town05": "routes_testing.xml",
+}
+
+
 def town_report(town: str, n_routes: int = 3):
     import h5py
     import jax.numpy as jnp
@@ -51,7 +59,8 @@ def town_report(town: str, n_routes: int = 3):
     )
 
     route_on = []
-    for r in benchmark_routes(town)[:n_routes]:
+    route_file = ROUTE_FILE.get(town, "routes_training.xml")
+    for r in benchmark_routes(town, route_file)[:n_routes]:
         d = repair_dense_route(densify_route(r.waypoints), geo)
         sd = mask_geo.boundary_signed_distance(geo.bnd_ab, d.xy)
         route_on.append(float((sd > 0).mean()))
@@ -62,7 +71,7 @@ def town_report(town: str, n_routes: int = 3):
         sd = mask_geo.boundary_signed_distance(geo.bnd_ab, c[None, :])
         stop_off = max(stop_off, float(-sd[0]))
 
-    sc = make_town_scene(town)
+    sc = make_town_scene(town, route_file)
     cfg = EnvConfig()
     with h5py.File(os.path.join(H5_DIR, f"{town}.h5"), "r") as f:
         off = np.asarray(f.attrs["world_offset_in_meters"], np.float64)

@@ -285,3 +285,56 @@ def test_expert_completes_town01_route(town01_scene):
     out = jax.tree.map(np.asarray, run(states, metrics, ap))
     assert bool(out["completed"][0])
     assert float(out["score"][0]) > 90.0
+
+
+def test_plan_on_mask_routes_around_gaps():
+    """mask_geo.plan_on_mask: A* on the road mask connects points whose
+    straight chord crosses off-road ground, staying on the mask."""
+    from gail_carla_tpu.scene import mask_geo
+
+    ppm, w = 5.0, 300
+    mask = np.zeros((w, w), bool)
+    mask[20:260, 20:40] = True     # left arm (x ~ 4..8 m)
+    mask[240:260, 20:260] = True   # bottom bar
+    mask[20:260, 240:260] = True   # right arm
+    off = np.zeros(2)
+    a = np.array([6.0, 5.0])       # top of left arm
+    b = np.array([50.0, 5.0])      # top of right arm
+    path = mask_geo.plan_on_mask(mask, off, ppm, a, b)
+    assert path is not None
+    # every path point on the mask (within a smoothing tolerance cell)
+    xi = np.clip((path[:, 0] * ppm).round().astype(int), 0, w - 1)
+    yi = np.clip((path[:, 1] * ppm).round().astype(int), 0, w - 1)
+    frac_on = mask[yi, xi].mean()
+    assert frac_on > 0.95, frac_on
+    assert np.linalg.norm(path[0] - a) < 1e-6
+    assert np.linalg.norm(path[-1] - b) < 1e-6
+    # it went around: path length ~ 100 m, not the 44 m chord
+    length = np.linalg.norm(np.diff(path, axis=0), axis=1).sum()
+    assert length > 80.0
+
+    # disconnected masks yield None
+    mask2 = np.zeros((w, w), bool)
+    mask2[20:260, 20:40] = True
+    mask2[20:260, 240:260] = True
+    assert mask_geo.plan_on_mask(mask2, off, ppm, a, b) is None
+
+
+@pytest.mark.slow
+def test_town03_benchmark_routes_stay_on_road():
+    """Every Town03 benchmark route (the reference's winding multi-lane
+    town) ends up inside the H5 road mask after repair + graph re-plan +
+    mask-planned splicing (round-3 expert-ceiling fix: four routes used to
+    keep 20-38 m off-road excursions)."""
+    from gail_carla_tpu.scene import mask_geo
+    from gail_carla_tpu.scene.h5_maps import load_town_geometry
+
+    sc = make_town_scene("Town03")
+    geo = load_town_geometry("Town03")
+    for rid in range(int(sc.n_routes)):
+        n = int(sc.route_n[rid])
+        xy = np.asarray(sc.route_xy[rid, :n], np.float64)
+        sd = mask_geo.boundary_signed_distance(geo.bnd_ab, xy)
+        assert float(sd.min()) > -3.0, (
+            f"route {rid} still {-float(sd.min()):.1f} m off-road"
+        )
