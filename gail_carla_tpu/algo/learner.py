@@ -232,8 +232,14 @@ class WDGAILLearner:
                 # survival shift afterwards would let the shift dominate
                 # as sigma grows — scaling both preserves the
                 # shift/discrimination balance the terminal modes are
-                # tuned around. Moments pmean'd across the mesh so
-                # replicated state stays bitwise equal.
+                # tuned around. The tracker is the clamped-EMA
+                # update_scale, NOT cumulative Chan moments: the disc
+                # warm-up phase drifts D's absolute level to ~+7 and the
+                # resulting return spike (std ~300 vs ~3 steady) poisons
+                # a never-forgetting normaliser for the whole run
+                # (measured: runs/r3b_s0_stage1 flat at
+                # gail_reward_mean 0.001). Moments pmean'd across the
+                # mesh so replicated state stays bitwise equal.
                 def ret_body(acc, inp):
                     r, m_next = inp
                     acc2 = acc * tcfg.gamma + r
@@ -243,7 +249,7 @@ class WDGAILLearner:
                     ret_body, returns_acc,
                     (shifted, rollout.masks[1:]),
                 )
-                reward_rms = rms_mod.update_rms(
+                reward_rms = rms_mod.update_scale(
                     reward_rms, rets.reshape(-1),
                     axis_name=self.axis_name,
                 )

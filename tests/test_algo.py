@@ -270,3 +270,36 @@ def test_state_obs_mode_ppo():
         rews.append(float(metrics["env_reward_mean"]))
     assert all(np.isfinite(r) for r in rews)
     assert rews[-1] > rews[0], rews  # dense reward is quickly learnable
+
+
+def test_reward_scale_tracker_recovers_from_warmup_spike():
+    """update_scale (the GAIL reward normaliser) must forget a
+    warm-up-phase outlier batch: the cumulative update_rms keeps a
+    1e4x-variance spike in its denominator for hundreds of updates,
+    which divided the learning signal to zero in a real run
+    (runs/r3b_s0_stage1, RESULTS.md round-3 reproduction)."""
+    from gail_carla_tpu.utils import running_mean_std as rms
+
+    rng = np.random.default_rng(0)
+    steady = rng.normal(0.0, 3.0, size=(7200,))
+    spike = rng.normal(0.0, 300.0, size=(7200,))
+
+    r_scale = rms.make_rms()
+    r_cum = rms.make_rms()
+    # 8 warm-up updates of drifted-D returns, then steady-state batches
+    for _ in range(8):
+        r_scale = rms.update_scale(r_scale, jnp.asarray(spike))
+        r_cum = rms.update_rms(r_cum, jnp.asarray(spike))
+    # the clamp bounds the spike's reach: std <= 1.25^8
+    assert float(r_scale.std) <= 1.25**8 + 1e-6
+    for i in range(20):
+        r_scale = rms.update_scale(r_scale, jnp.asarray(steady))
+        r_cum = rms.update_rms(r_cum, jnp.asarray(steady))
+    # within 20 post-warm-up updates the tracker is at the true scale...
+    assert 2.0 < float(r_scale.std) < 4.5, float(r_scale.std)
+    # ...while the cumulative normaliser is still poisoned >40x too big
+    assert float(r_cum.std) > 120.0
+    # and per-update moves are always inside the geometric trust region
+    before = float(r_scale.std)
+    r2 = rms.update_scale(r_scale, jnp.asarray(spike))
+    assert float(r2.std) <= before * 1.25 + 1e-6
