@@ -92,6 +92,8 @@ class DrivingEnv:
         return bool(self._last_info.get("route_completed", False))
 
     def reset(self):
+        from gail_carla_tpu.sim.weather import make_weather
+
         if self._shuffle and len(self.tasks) > 1:
             self._task_idx = self._py_rng.randrange(len(self.tasks))
         self._rng, k = self._jax.random.split(self._rng)
@@ -100,7 +102,21 @@ class DrivingEnv:
         obs = self._observe(render)
         self._last_info = {}
         self.episode_reward = 0.0
+        # WeatherHandler.reset semantics (dynamic_weather.py:89-106);
+        # evolved on host per step — weather is visual-only metadata.
+        self._weather_params = make_weather(
+            self.task.get("weather", "ClearNoon"), self._py_rng
+        )
+        self._sim_t = 0.0
         return obs, np.asarray(metrics)
+
+    @property
+    def weather(self):
+        """``world.get_weather()``: the current Weather struct (numpy
+        scalars), evolved to the episode's elapsed sim time."""
+        from gail_carla_tpu.sim.weather import weather_at
+
+        return weather_at(self._weather_params, self._sim_t, xp=np)
 
     def _observe(self, render):
         if self._obs_dict:
@@ -121,6 +137,14 @@ class DrivingEnv:
         info = {k: np.asarray(v).item() for k, v in out.info.items()}
         info["route_id"] = self.task["route_id"]
         info["episode_reward"] = self.episode_reward
+        # weather tick + the sun-angle headlight rule
+        # (task_vehicle.py:175-181) — host-side, no device round-trip
+        from gail_carla_tpu.sim.weather import headlights_on, weather_at
+
+        self._sim_t += self.cfg.dt
+        w = weather_at(self._weather_params, self._sim_t, xp=np)
+        info["sun_altitude_angle"] = float(w.sun_altitude_angle)
+        info["vehicle_lights_on"] = bool(headlights_on(w))
         if done:
             info["episode"] = {
                 "r": self.episode_reward, "l": info["episode_length"]

@@ -83,7 +83,7 @@ def _ray_boxes(o, d, centers, yaws, extents):
 
 def render_camera(
     scene: StaticScene, xy, yaw, cam_yaw_offset: float = 0.0,
-    veh_pose=None, walker_pose=None, tl_states=None,
+    veh_pose=None, walker_pose=None, tl_states=None, brightness=None,
 ):
     """(H, W, 3) u8 pseudo-camera frame; ``cam_yaw_offset`` ±55° gives the
     left/right cameras (carla_env.py:33-47).
@@ -228,4 +228,11 @@ def render_camera(
             box_vis[:, None], box_rgb.astype(jnp.uint8), img
         )
 
+    if brightness is not None:
+        # weather/sun ambient factor (sim/weather.py::sun_brightness —
+        # the UE4 day/night lighting swing, task_vehicle.py:175-181's
+        # below-horizon sun): scale the whole frame, u8-safe.
+        img = (
+            img.astype(jnp.float32) * jnp.clip(brightness, 0.0, 1.0)
+        ).astype(jnp.uint8)
     return img.reshape(CAM_H, CAM_W, 3)
