@@ -18,8 +18,18 @@ from gail_carla_tpu.models import policy as policy_mod
 BC_LR = 3e-4  # learn_bc.py:27 (Adam default betas)
 
 
-def make_bc_optimizer(lr: float = BC_LR):
-    return optax.adam(lr)
+def make_bc_optimizer(lr: float = BC_LR, max_grad_norm: float = 1.0):
+    """Adam with global-norm clipping. The reference's BC runs unclipped
+    (learn_bc.py:27), but with the policy's small fixed action std the
+    NLL gradient scales like (a-mu)/std^2 — measured: an unclipped run
+    diverged between epochs 19-29 into a dead network (train loss
+    12.9 -> 65.7, eval pinned at exactly 62.5750 thereafter;
+    docs/results/logs/r3b_bc_s0.log). Clipping at 1.0 (the same bound
+    PPO uses, tools/learn.py max_grad_norm) removes the blow-up without
+    changing the objective."""
+    return optax.chain(
+        optax.clip_by_global_norm(max_grad_norm), optax.adam(lr)
+    )
 
 
 def bc_epoch(
