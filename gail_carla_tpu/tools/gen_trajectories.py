@@ -44,6 +44,7 @@ def gen_trajectories(
     max_steps: int = 6000,
     with_cameras: bool = True,
     scene_kwargs=None,
+    compliant: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -123,7 +124,9 @@ def gen_trajectories(
             completed = False
             for i_step in range(max_steps):
                 w = jax.tree.map(lambda a: a[0], states)
-                ap, action = autopilot_act(scene, ap, w, 6.0)
+                ap, action = autopilot_act(
+                    scene, ap, w, 6.0, obey_signals=compliant
+                )
                 t = jnp.asarray(i_step * cfg.dt)
                 speed_kmh = metrics[0, 2] * 3.6
                 rng, k1, k2 = jax.random.split(rng, 3)
@@ -187,11 +190,15 @@ def main(argv=None):
     p.add_argument("--town", default=None,
                    help="generate on a reconstructed town (e.g. Town01) "
                         "instead of the procedural grid benchmark")
+    p.add_argument("--compliant", action="store_true",
+                   help="expert obeys signals (obey_signals=True), like "
+                        "train.py --compliant-demos")
     args = p.parse_args(argv)
     gen_trajectories(
         out_dir=args.out, n_routes=args.routes, n_eps=args.eps,
         max_steps=args.max_steps, with_cameras=not args.no_cameras,
         scene_kwargs=dict(town=args.town) if args.town else None,
+        compliant=args.compliant,
     )
 
 

@@ -62,7 +62,7 @@ fi
 echo "=== file-demo parity: export tree + train from it ==="
 if [ ! -d runs/r3_experts_town01 ]; then
   python -m gail_carla_tpu.tools.gen_trajectories --town Town01 \
-    --out runs/r3_experts_town01 --routes 10 --no-cameras \
+    --out runs/r3_experts_town01 --routes 10 --no-cameras --compliant \
     > docs/results/logs/r3_gen_tree.log 2>&1 || exit 1
 fi
 FD=runs/r3_filedemo
