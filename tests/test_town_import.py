@@ -338,3 +338,38 @@ def test_town03_benchmark_routes_stay_on_road():
         assert float(sd.min()) > -3.0, (
             f"route {rid} still {-float(sd.min()):.1f} m off-road"
         )
+
+
+@pytest.mark.slow
+def test_corl2017_pack_runs_on_real_town01():
+    """CoRL2017 on the reconstructed town (corl2017_env.py:28-46): the
+    shipped per-shape packs plan through the completed Town01 lane
+    graph; navigation_dynamic applies the reference traffic densities
+    (20 vehicles / 50 walkers, capped at 32)."""
+    from gail_carla_tpu.envs.suites import corl2017_suite
+    from gail_carla_tpu.sim.env import reset_batch, step_batch
+
+    scene, cfg, tasks = corl2017_suite(
+        task_type="straight", town="Town01", weather_group="train",
+    )
+    assert scene.n_routes >= 24          # 25-pair pack, <=1 corner drop
+    assert cfg.n_npc_vehicles == 0       # static tasks have no traffic
+    lens = np.asarray(scene.route_len_m)[: scene.n_routes]
+    assert lens.min() > 20.0             # Straight pairs are short legs
+
+    scene_d, cfg_d, _ = corl2017_suite(
+        task_type="navigation_dynamic", town="Town01",
+    )
+    assert cfg_d.n_npc_vehicles == 20 and cfg_d.n_npc_walkers == 32
+    lens_d = np.asarray(scene_d.route_len_m)[: scene_d.n_routes]
+    assert lens_d.min() > 100.0          # Navigation pairs cross town
+
+    states, _, _ = reset_batch(
+        scene_d, cfg_d, jax.random.PRNGKey(0), jnp.zeros((2,), jnp.int32)
+    )
+    for _ in range(5):
+        states, out = step_batch(
+            scene_d, cfg_d, states,
+            jnp.tile(jnp.array([0.0, 0.6]), (2, 1)),
+        )
+    assert np.isfinite(np.asarray(out.reward)).all()
