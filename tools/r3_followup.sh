@@ -16,9 +16,11 @@ mkdir -p docs/results/logs
 
 # wait for the Town01 pipeline to release the chip (PID recorded at
 # launch; kill -0 only probes liveness)
-if [ -f /tmp/pipeline.pid ]; then
-  while kill -0 "$(cat /tmp/pipeline.pid)" 2>/dev/null; do sleep 60; done
-fi
+for PIDFILE in /tmp/pipeline.pid /tmp/pipeline_s1.pid; do
+  if [ -f "$PIDFILE" ]; then
+    while kill -0 "$(cat $PIDFILE)" 2>/dev/null; do sleep 60; done
+  fi
+done
 
 echo "=== Town03 expert ceiling ==="
 if [ ! -f docs/results/r3_town03_expert.json ]; then
@@ -50,13 +52,21 @@ else
   echo "Town03 expert ceiling $CEIL < 60 — skipping training (fix scenes first)"
 fi
 
+# seed-0 best params: prefer the live run dir, fall back to the
+# committed artifact (runs/ was reset between round-3 sessions)
 CKPT=runs/r3c_s0_stage2/ckpt/best_params
+[ -d "$CKPT" ] || CKPT=docs/results/ckpts/r3_town01_s0_best_params
 if [ -d "$CKPT" ]; then
-  echo "=== NoCrash Town01 table ==="
-  python -m gail_carla_tpu.tools.nocrash_bench --ckpt $CKPT \
-    --town Town01 --obs-mode bev6 --episodes 2 \
-    > docs/results/r3_nocrash_town01.json \
-    2> docs/results/logs/r3_nocrash_town01.log || exit 1
+  for TOWN in Town01 Town02; do
+    LOW=$(echo $TOWN | tr 'A-Z' 'a-z')
+    if [ ! -f docs/results/r3_nocrash_${LOW}.json ]; then
+      echo "=== NoCrash $TOWN table ==="
+      python -m gail_carla_tpu.tools.nocrash_bench --ckpt $CKPT \
+        --town $TOWN --obs-mode bev6 --episodes 2 \
+        > docs/results/r3_nocrash_${LOW}.json \
+        2> docs/results/logs/r3_nocrash_${LOW}.log || exit 1
+    fi
+  done
 fi
 
 echo "=== file-demo parity: export tree + train from it ==="

@@ -24,7 +24,10 @@ set -u
 cd /root/repo
 mkdir -p docs/results/logs docs/results/ckpts
 
-for SEED in 0 1; do
+# Seeds may be passed as arguments (default: 0 1). Useful when one seed's
+# artifacts are already committed and runs/ was reset.
+SEEDS="${@:-0 1}"
+for SEED in $SEEDS; do
   S1=runs/r3c_s${SEED}_stage1
   S2=runs/r3c_s${SEED}_stage2
 
