@@ -10,8 +10,13 @@ with the same road/lane/route palette as the BEV; pixels above the horizon
 get sky; and the scene's dynamic actors (NPC vehicles, walkers), static
 obstacles and traffic-light heads are ray-traced as oriented 3D boxes
 (slab method) with a depth test against the ground, using the BEV RGB
-palette (``ops/bev_full.py``). Cited limitation: flat-shaded boxes, no
-textures — a geometric sensor, not a neural renderer.
+palette (``ops/bev_full.py``). Box faces are Lambert-shaded against the
+sun direction (so boxes read as 3D, and the shading tracks the dynamic
+weather's sun path, ``sim/weather.py::weather_at``), the sky is a
+zenith->horizon gradient, and an exponential distance fog driven by the
+weather's ``fog_density`` readout fades the far field — the same three
+cues UE4's renderer provides. Cited limitation: no textures or meshes —
+a geometric sensor, not a neural renderer.
 """
 from __future__ import annotations
 
@@ -30,7 +35,8 @@ CAM_FOV = 60.0               # degrees
 CAM_HEIGHT = 1.3             # m above ground (carla_env.py:30)
 CAM_FORWARD = 0.8            # m ahead of the ego origin
 
-SKY = (135, 180, 235)
+SKY = (135, 180, 235)           # horizon tint (also the fog color)
+SKY_ZENITH = (70, 120, 215)     # overhead blue, gradient to SKY at horizon
 GROUND = (90, 85, 80)
 ROAD = (46, 52, 54)
 LANE_SOLID = (255, 0, 255)
@@ -48,13 +54,16 @@ TL_HEAD_Z, TL_HEAD_HE = 2.4, (0.35, 0.35, 0.35)   # light head centre/size
 MAX_BOXES = 64               # nearest boxes kept per frame (top_k budget)
 
 
-def _ray_boxes(o, d, centers, yaws, extents):
+def _ray_boxes(o, d, centers, yaws, extents, sun_dir):
     """Slab-method ray vs oriented-box intersection.
 
     o (3,) ray origin; d (N, 3) unnormalised ray directions; centers (B, 3),
-    yaws (B,), extents (B, 3) half sizes. Returns entry parameter t (N, B),
-    1e9 where the ray misses (t is in the same parameterisation as the
-    ground hit ``CAM_HEIGHT / v``, so the two depth-test directly)."""
+    yaws (B,), extents (B, 3) half sizes; sun_dir (3,) unit vector TOWARD
+    the sun. Returns (t, shade): entry parameter t (N, B), 1e9 where the
+    ray misses (t is in the same parameterisation as the ground hit
+    ``CAM_HEIGHT / v``, so the two depth-test directly), and a Lambert
+    factor (N, B) for the hit face (ambient + diffuse * max(0, n.l),
+    where n is the entry-slab face normal)."""
     c, s = jnp.cos(yaws), jnp.sin(yaws)
     rel = o[None, :] - centers                       # (B, 3)
     ox = c * rel[:, 0] + s * rel[:, 1]
@@ -78,12 +87,26 @@ def _ray_boxes(o, d, centers, yaws, extents):
     tmin = jnp.maximum(jnp.maximum(n0, n1), n2)
     tmax = jnp.minimum(jnp.minimum(f0, f1), f2)
     hit = (tmax >= tmin) & (tmax > 0.0)
-    return jnp.where(hit, jnp.maximum(tmin, 0.0), 1e9)
+
+    # entry-face normal . sun, per candidate axis: the face normal is the
+    # box axis whose near-slab t equals tmin, pointing against the ray
+    # (world box axes: x=(c,s,0), y=(-s,c,0), z=(0,0,1))
+    lx = c * sun_dir[0] + s * sun_dir[1]             # sun in box frame (B,)
+    ly = -s * sun_dir[0] + c * sun_dir[1]
+    lz = jnp.broadcast_to(sun_dir[2], lx.shape)
+    nl = jnp.where(
+        n0 == tmin, -jnp.sign(dx) * lx[None, :],
+        jnp.where(n1 == tmin, -jnp.sign(dy) * ly[None, :],
+                  -jnp.sign(dz) * lz[None, :]),
+    )
+    shade = 0.45 + 0.55 * jnp.maximum(nl, 0.0)
+    return jnp.where(hit, jnp.maximum(tmin, 0.0), 1e9), shade
 
 
 def render_camera(
     scene: StaticScene, xy, yaw, cam_yaw_offset: float = 0.0,
     veh_pose=None, walker_pose=None, tl_states=None, brightness=None,
+    sun_altitude=None, sun_azimuth=None, fog_density=None,
 ):
     """(H, W, 3) u8 pseudo-camera frame; ``cam_yaw_offset`` ±55° gives the
     left/right cameras (carla_env.py:33-47).
@@ -91,7 +114,13 @@ def render_camera(
     Optional actor channels: ``veh_pose`` (K, 3) x/y/yaw NPC vehicles,
     ``walker_pose`` (W, 3), ``tl_states`` (T,) light phases — when given,
     they are ray-traced as 3D boxes over the ground image, along with the
-    scene's static obstacles."""
+    scene's static obstacles.
+
+    Optional lighting (from ``sim/weather.py::weather_at`` readouts):
+    ``sun_altitude``/``sun_azimuth`` in degrees steer the Lambert shading
+    of box faces (default: high noon); ``fog_density`` (CARLA's 0-100
+    scale) sets the exponential distance-fog visibility; ``brightness``
+    (``weather.sun_brightness``) scales the whole frame for day/night."""
     f = CAM_W / (2.0 * math.tan(math.radians(CAM_FOV) / 2.0))
     u = (jnp.arange(CAM_W, dtype=jnp.float32) - CAM_W / 2.0 + 0.5) / f
     v = (jnp.arange(CAM_H, dtype=jnp.float32) - CAM_H / 2.0 + 0.5) / f
@@ -144,10 +173,27 @@ def render_camera(
         (lane_v == 255)[:, None], jnp.asarray(LANE_SOLID, jnp.uint8)[None],
         img,
     )
-    img = jnp.where(
-        below.reshape(-1)[:, None], img,
-        jnp.asarray(SKY, jnp.uint8)[None, :],
+    # sky: zenith->horizon gradient on the ray's upward angle
+    vmax = (CAM_H / 2.0) / f
+    up = jnp.clip(-vv.reshape(-1) / vmax, 0.0, 1.0)          # 0 horizon, 1 top
+    sky_rgb = (
+        jnp.asarray(SKY, jnp.float32)[None, :]
+        + up[:, None]
+        * (jnp.asarray(SKY_ZENITH, jnp.float32)
+           - jnp.asarray(SKY, jnp.float32))[None, :]
+    ).astype(jnp.uint8)
+    img = jnp.where(below.reshape(-1)[:, None], img, sky_rgb)
+
+    # sun direction (unit, toward the sun) for box-face Lambert shading
+    alt = math.radians(75.0) if sun_altitude is None else (
+        sun_altitude * (math.pi / 180.0)
     )
+    az = 0.0 if sun_azimuth is None else sun_azimuth * (math.pi / 180.0)
+    sun_dir = jnp.stack([
+        jnp.cos(alt) * jnp.cos(az),
+        jnp.cos(alt) * jnp.sin(az),
+        jnp.sin(alt),
+    ]).astype(jnp.float32)
 
     # --- 3D box pass: NPC vehicles/walkers, static obstacles, light heads
     centers, yaws, extents, colors = [], [], [], []
@@ -215,18 +261,42 @@ def render_camera(
             - vv.reshape(-1)[:, None]
             * jnp.asarray([0.0, 0.0, 1.0])[None, :]
         )
-        t_box = _ray_boxes(o, dirs, centers, yaws_all, extents)  # (N, B)
+        t_box, shade = _ray_boxes(
+            o, dirs, centers, yaws_all, extents, sun_dir
+        )  # (N, B)
         t_near = jnp.min(t_box, axis=1)
         b_near = jnp.argmin(t_box, axis=1)
         t_ground = jnp.where(below.reshape(-1), depth.reshape(-1), 1e9)
         box_vis = t_near < jnp.minimum(t_ground, 1e8)
-        # gather-free color pick (one-hot matmul; see DESIGN.md §2)
-        box_rgb = jax.nn.one_hot(
-            b_near, t_box.shape[1], dtype=jnp.float32
-        ) @ colors.astype(jnp.float32)
+        # gather-free color/shade pick (one-hot matmul; see DESIGN.md §2)
+        onehot = jax.nn.one_hot(b_near, t_box.shape[1], dtype=jnp.float32)
+        box_rgb = onehot @ colors.astype(jnp.float32)
+        box_rgb = box_rgb * jnp.sum(onehot * shade, axis=1)[:, None]
         img = jnp.where(
             box_vis[:, None], box_rgb.astype(jnp.uint8), img
         )
+        fog_dist = jnp.where(
+            box_vis, t_near,
+            jnp.where(below.reshape(-1), depth.reshape(-1),
+                      120.0 * (1.0 - up)),
+        )
+    else:
+        fog_dist = jnp.where(
+            below.reshape(-1), depth.reshape(-1), 120.0 * (1.0 - up)
+        )
+
+    if fog_density is not None:
+        # exponential distance fog toward the horizon tint; visibility
+        # from the weather's fog_density readout (Storm's 0-30 dynamic
+        # range / CARLA's 0-100 scale); fog 0 = visibility 1.5 km
+        vis = 1500.0 / (1.0 + fog_density)
+        fg = 1.0 - jnp.exp(-fog_dist / vis)
+        img = (
+            img.astype(jnp.float32)
+            + fg[:, None]
+            * (jnp.asarray(SKY, jnp.float32)[None, :]
+               - img.astype(jnp.float32))
+        ).astype(jnp.uint8)
 
     if brightness is not None:
         # weather/sun ambient factor (sim/weather.py::sun_brightness —

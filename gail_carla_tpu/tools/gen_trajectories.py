@@ -45,6 +45,7 @@ def gen_trajectories(
     with_cameras: bool = True,
     scene_kwargs=None,
     compliant: bool = False,
+    weather: str = "ClearNoon",
 ):
     import jax
     import jax.numpy as jnp
@@ -85,6 +86,14 @@ def gen_trajectories(
         "rgb": 0.0, "rgb_left": math.radians(-55.0),
         "rgb_right": math.radians(55.0),
     }
+    import random as py_random
+
+    from gail_carla_tpu.sim.weather import (
+        make_weather, sun_brightness, weather_at,
+    )
+
+    weather_params = make_weather(weather, py_random.Random(1337))
+
     def _cam(r, off, traffic, t):
         from gail_carla_tpu.sim import signals
 
@@ -94,10 +103,15 @@ def gen_trajectories(
         walker_pose = jnp.concatenate(
             [traffic.walker_xy, traffic.walker_yaw[:, None]], axis=1
         )
+        w = weather_at(weather_params, t)
         return render_camera(
             scene, r.xy, r.yaw, off, veh_pose=veh_pose,
             walker_pose=walker_pose,
             tl_states=signals.light_states(scene, t),
+            brightness=sun_brightness(w),
+            sun_altitude=w.sun_altitude_angle,
+            sun_azimuth=w.sun_azimuth_angle,
+            fog_density=w.fog_density,
         )
 
     render_cam = jax.jit(_cam)
@@ -193,12 +207,15 @@ def main(argv=None):
     p.add_argument("--compliant", action="store_true",
                    help="expert obeys signals (obey_signals=True), like "
                         "train.py --compliant-demos")
+    p.add_argument("--weather", default="ClearNoon",
+                   help="weather preset or 'dynamic[_speed]' for camera "
+                        "sun/fog lighting (sim/weather.py presets)")
     args = p.parse_args(argv)
     gen_trajectories(
         out_dir=args.out, n_routes=args.routes, n_eps=args.eps,
         max_steps=args.max_steps, with_cameras=not args.no_cameras,
         scene_kwargs=dict(town=args.town) if args.town else None,
-        compliant=args.compliant,
+        compliant=args.compliant, weather=args.weather,
     )
 
 

@@ -54,8 +54,9 @@ def test_camera_renders(scene):
     yaw = scene.route_yaw[0, 5]
     img = np.asarray(render_camera(scene, xy, yaw))
     assert img.shape == (216, 384, 3)
-    # sky on top, road somewhere below the horizon
-    assert (img[0, 0] == np.array([135, 180, 235])).all()
+    # sky gradient: zenith blue at the top fading to the horizon tint
+    assert np.abs(img[0, 0].astype(int) - [70, 120, 215]).max() <= 2
+    assert np.abs(img[106, 0].astype(int) - [135, 180, 235]).max() <= 3
     lower = img[140:]
     assert (lower == np.array([46, 52, 54])).all(axis=-1).any(), \
         "no road visible ahead"
@@ -83,12 +84,59 @@ def test_camera_renders_actor_boxes(scene):
     img = np.asarray(
         render_camera(scene, xy, yaw, 0.0, veh_pose=veh, walker_pose=wkr)
     )
-    assert (img == np.array([0, 0, 255])).all(axis=-1).any(), "no vehicle"
-    assert (img == np.array([0, 255, 255])).all(axis=-1).any(), "no walker"
+    # Lambert shading scales the pure BEV hues, so detect by hue: vehicle
+    # (0, 0, b), walker (0, g, g) with the face shade >= 0.45 floor
+    is_veh = (img[..., 0] == 0) & (img[..., 1] == 0) & (img[..., 2] > 100)
+    is_wkr = (
+        (img[..., 0] == 0) & (img[..., 1] > 100)
+        & (np.abs(img[..., 1].astype(int) - img[..., 2]) <= 1)
+    )
+    assert is_veh.any(), "no vehicle"
+    assert is_wkr.any(), "no walker"
     # vehicle box must sit around the image centre row (roofline above
     # the horizon at 12 m: atan((1.5-1.3)/12) ~ 1deg above centre)
-    ys, xs = np.where((img == np.array([0, 0, 255])).all(axis=-1))
+    ys, xs = np.where(is_veh)
     assert abs(ys.mean() - 108) < 40 and abs(xs.mean() - 192) < 60
+
+
+def test_camera_shading_and_fog(scene):
+    """Sun-direction Lambert shading lights a box's sun-facing side more
+    than its back face, and distance fog pulls far ground toward the
+    horizon tint (rgb.py renders UE4 sun + atmospheric fog; this is the
+    geometric stand-in's equivalent cue set)."""
+    import jax.numpy as jnp
+
+    from gail_carla_tpu.ops.camera import render_camera
+
+    xy = scene.route_xy[0, 5]
+    yaw = scene.route_yaw[0, 5]
+    fwd = np.array([np.cos(float(yaw)), np.sin(float(yaw))])
+    veh = jnp.asarray([[*(np.asarray(xy) + 12.0 * fwd), float(yaw)]])
+
+    def veh_blue(sun_az_deg):
+        img = np.asarray(render_camera(
+            scene, xy, yaw, 0.0, veh_pose=veh,
+            sun_altitude=10.0, sun_azimuth=sun_az_deg,
+        ))
+        m = (img[..., 0] == 0) & (img[..., 1] == 0) & (img[..., 2] > 50)
+        assert m.any()
+        return img[..., 2][m].max()
+
+    # low sun behind the camera lights the box's near face; sun ahead
+    # leaves the near face in ambient shadow
+    behind = veh_blue(np.degrees(float(yaw)) + 180.0)
+    ahead = veh_blue(np.degrees(float(yaw)))
+    assert behind > ahead + 40, (behind, ahead)
+
+    clear = np.asarray(render_camera(scene, xy, yaw))
+    foggy = np.asarray(render_camera(scene, xy, yaw, fog_density=60.0))
+    # near the horizon the foggy ground converges to the fog tint
+    row = 112  # just below the horizon -> tens of meters of depth
+    d_clear = np.abs(clear[row].astype(int) - [135, 180, 235]).mean()
+    d_foggy = np.abs(foggy[row].astype(int) - [135, 180, 235]).mean()
+    assert d_foggy < d_clear - 10, (d_clear, d_foggy)
+    # but the nearby road right in front of the ego stays recognisable
+    assert np.abs(foggy[-1].astype(int) - clear[-1].astype(int)).max() < 40
 
 
 def test_exporter_and_loader_roundtrip(scene, tmp_path, monkeypatch):
