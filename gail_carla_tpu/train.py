@@ -113,9 +113,12 @@ def run(env_cfg, model_cfg, tcfg, scene_kwargs, demo_steps,
             expert_buffer_from_tree,
         )
 
-        expert = expert_buffer_from_tree(demo_tree, tcfg.routes)
+        n_ch = 6 if env_cfg.obs_mode == "bev6" else 3
+        expert = expert_buffer_from_tree(
+            demo_tree, tcfg.routes, n_channels=n_ch
+        )
         expert_val = expert_buffer_from_tree(
-            demo_tree, [tcfg.eval_route]
+            demo_tree, [tcfg.eval_route], n_channels=n_ch
         )
     else:
         # --- expert demos on device (train + held-out val split) ---

@@ -47,6 +47,38 @@ def test_full_bev_masks_and_collision_px(scene):
     assert isinstance(bool(col_px), bool)
 
 
+def test_bev_full_current_planes_match_bev6(scene):
+    """The 15-channel stack's current-frame planes (veh ch6, walker ch10,
+    light ch14 — history tap -1) equal render_bev6's signal/vehicle/walker
+    channels on the same state. load_expert_tree(n_channels=6) relies on
+    this mapping to assemble bev6 expert obs from exported PNG trees."""
+    from gail_carla_tpu.ops.bev6 import render_bev6
+    from gail_carla_tpu.ops.bev_full import render_bev_full
+    from gail_carla_tpu.sim.env import reset_batch, step_batch
+
+    cfg = EnvConfig(train=False, full_bev=True, obs_mode="bev6",
+                    n_npc_vehicles=6, n_npc_walkers=3)
+    states, _, render = reset_batch(
+        scene, cfg, jax.random.PRNGKey(3), jnp.zeros((1,), jnp.int32)
+    )
+    for _ in range(20):
+        states, out = step_batch(
+            scene, cfg, states, jnp.tile(jnp.array([0.0, 0.5]), (1, 1))
+        )
+    r0 = jax.tree.map(lambda a: a[0], out.render)
+    h0 = jax.tree.map(lambda a: a[0], states.history)
+    masks, _, _ = render_bev_full(
+        scene, cfg, r0.xy, r0.yaw, r0.route_id, r0.head, h0
+    )
+    obs6 = np.asarray(render_bev6(scene, cfg, r0) * 255.0).astype(np.uint8)
+    masks = np.asarray(masks)
+    assert (obs6[4] == masks[6]).all(), "vehicle plane mismatch"
+    assert (obs6[5] == masks[10]).all(), "walker plane mismatch"
+    assert (obs6[3] == masks[14]).all(), "signal plane mismatch"
+    # the base triple is mask 0 by construction
+    assert (obs6[:3] == masks[:3]).all()
+
+
 def test_camera_renders(scene):
     from gail_carla_tpu.ops.camera import render_camera
 
@@ -163,6 +195,12 @@ def test_exporter_and_loader_roundtrip(scene, tmp_path, monkeypatch):
     assert actions.shape[1:] == (2,)
     assert obs.shape[0] == 25
 
+    # the gen_trajectories --out dir (trajectory-name parent) also loads:
+    # the loader descends into the sole trajectory subdir
+    obs2, _, _ = load_expert_tree(str(tmp_path), [0])
+    assert obs2.shape == obs.shape
+    assert (obs2 == obs).all()
+
     buf = expert_buffer_from_tree(str(tmp_path / "t"), [0])
     assert buf.size == 25
     assert buf.obs is not None
@@ -244,6 +282,8 @@ def test_pallas_renderer_fallback_odd_width(scene):
 def test_train_from_exported_files(scene, tmp_path):
     """Full interop loop: export PNG demos (reference format) -> load them
     -> run a WDGAIL update on the file-backed expert buffer."""
+    import dataclasses as dc
+
     from gail_carla_tpu.algo.learner import WDGAILLearner
     from gail_carla_tpu.config import ModelConfig, TrainConfig
     from gail_carla_tpu.tools.expert_dataset import expert_buffer_from_tree
@@ -270,6 +310,18 @@ def test_train_from_exported_files(scene, tmp_path):
     state = learner.init_state()
     state, metrics = learner.update(state)
     assert np.isfinite(float(metrics["disc/dis_loss"]))
+
+    # bev6 interop: 6-channel expert obs assembled from the full mask
+    # stack (current-frame signal/vehicle/walker planes) feed a bev6
+    # learner end to end
+    expert6 = expert_buffer_from_tree(str(tmp_path / "t"), [0],
+                                      n_channels=6)
+    assert expert6.obs.shape[1] == 6
+    env_cfg6 = dc.replace(env_cfg, obs_mode="bev6")
+    learner6 = WDGAILLearner(scene, env_cfg6, model_cfg, tcfg, expert6)
+    state6 = learner6.init_state()
+    state6, metrics6 = learner6.update(state6)
+    assert np.isfinite(float(metrics6["disc/dis_loss"]))
     assert float(metrics["gail_reward_mean"]) > 0.0
 
 
