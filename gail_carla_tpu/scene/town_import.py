@@ -49,6 +49,7 @@ from gail_carla_tpu.scene.town import (
     TrafficLightFixture,
     _sample_arc,
     _sample_line,
+    _sample_uturn,
     _turn_option,
 )
 from gail_carla_tpu.scene.trace import DenseRoute, _downsample
@@ -136,6 +137,14 @@ def densify_leg(
         return [_Piece(_sample_arc(p0, yaw0, p1, yaw1, step),
                        RoadOption.LANEFOLLOW, False,
                        yaw_in=yaw0, yaw_out=yaw1)]
+    if abs(dyaw) > 2.6 and dist < 15.0:
+        # median U-turn (anti-parallel waypoints a few metres apart):
+        # a posed blend degenerates into a sub-metre hairpin the vehicle
+        # cannot steer (min turning radius ~4.2 m) — build the Dubins
+        # teardrop through the junction opening instead
+        return [_Piece(_sample_uturn(p0, yaw0, p1, yaw1, step=step),
+                       _turn_option(yaw0, yaw1), True,
+                       corner=0.5 * (p0 + p1), yaw_in=yaw0, yaw_out=yaw1)]
 
     # A turn. Find the corner C where the entry and exit headings cross:
     # p0 + t*f0 == p1 - u*f1.
@@ -176,6 +185,123 @@ def densify_leg(
                              RoadOption.LANEFOLLOW, False,
                              yaw_in=yaw1, yaw_out=yaw1))
     return pieces
+
+
+def _leg_doubles_back(p0, yaw0, p1, yaw1) -> bool:
+    """True when a leg cannot be reconstructed from its endpoints: the
+    chord opposes the entry or exit heading (>100 deg), i.e. the true
+    CARLA route between these waypoints loops through the road network
+    (turnaround at a junction, winding Town03+ connectors) — geometry a
+    two-pose arc can only fake with an undrivable hairpin."""
+    d = np.asarray(p1, np.float64) - np.asarray(p0, np.float64)
+    dist = float(np.linalg.norm(d))
+    if dist < 0.5:
+        return False
+    chord = math.atan2(d[1], d[0])
+    return (abs(_wrap(chord - yaw0)) > 1.75
+            or abs(_wrap(yaw1 - chord)) > 1.75)
+
+
+def _pieces_hairpin(pieces: List[_Piece], step: float = 1.0) -> bool:
+    """True when densified leg geometry bends more than ~40 deg between
+    consecutive ~1 m samples (turn radius under ~1.4 m — tighter than any
+    real lane connector; legitimate r>=2 m junction arcs stay under 30)."""
+    return _polyline_hairpin(np.concatenate([p.pts for p in pieces],
+                                            axis=0))
+
+
+def _polyline_hairpin(xy: np.ndarray) -> bool:
+    if len(xy) < 3:
+        return False
+    seg = np.diff(xy, axis=0)
+    good = np.linalg.norm(seg, axis=-1) > 1e-6
+    hdg = np.arctan2(seg[good][:, 1], seg[good][:, 0])
+    turn = np.abs(np.vectorize(_wrap)(np.diff(hdg)))
+    return bool((turn > 0.7).any())
+
+
+def densify_route_hybrid(
+    waypoints: np.ndarray, graph: "LaneGraph", geometry=None,
+    step: float = 1.0,
+) -> DenseRoute:
+    """densify_route, but legs the endpoint reconstruction cannot express
+    (doubling-back chords, hairpin arcs) are PLANNED through the evidence
+    lane graph instead — per-leg GlobalRoutePlanner semantics
+    (``global_route_planner.py`` trace between consecutive keypoints,
+    ``task_vehicle.py:84-93``). Feasible legs keep the route's own geometry
+    as the source of truth, and a graph plan is accepted only when it is
+    actually better than the geometric leg: no hairpin of its own, and not
+    deeper off the H5 road mask (``geometry.bnd_ab``)."""
+    from gail_carla_tpu.scene.trace import (
+        _collapse_lane_changes, _edge_slices,
+    )
+
+    def offroad_depth(xy: np.ndarray) -> float:
+        if geometry is None:
+            return 0.0
+        from gail_carla_tpu.scene import mask_geo
+
+        sd = mask_geo.boundary_signed_distance(geometry.bnd_ab, xy)
+        return max(0.0, -float(sd.min()))
+
+    pts: List[np.ndarray] = []
+    cmds: List[np.ndarray] = []
+
+    def push(p_list, c_list):
+        for p, c in zip(p_list, c_list):
+            if len(p) == 0:
+                continue
+            if pts and len(p) > 1:
+                p, c = p[1:], c[1:]
+            pts.append(p)
+            cmds.append(np.asarray(c, np.int32))
+
+    for i in range(len(waypoints) - 1):
+        p0, yaw0 = waypoints[i, :2], waypoints[i, 2]
+        p1, yaw1 = waypoints[i + 1, :2], waypoints[i + 1, 2]
+        pieces = densify_leg(p0, yaw0, p1, yaw1, step)
+        if not pieces:
+            continue
+        geo_xy = np.concatenate([pc.pts for pc in pieces], axis=0)
+        if graph is not None and (
+            _leg_doubles_back(p0, yaw0, p1, yaw1)
+            or _pieces_hairpin(pieces, step)
+        ):
+            try:
+                gp, gc = _edge_slices(
+                    graph, np.asarray(p0), np.asarray(p1),
+                    a_yaw=float(yaw0), b_yaw=float(yaw1),
+                )
+                g_xy = np.concatenate(gp, axis=0)
+                # depth-only gate: graph kinks/turnaround reversals are
+                # repaired downstream by smooth_dense_route, but a plan
+                # that strays further off the road mask than the
+                # geometric leg is a worse starting point
+                if (offroad_depth(g_xy)
+                        <= max(offroad_depth(geo_xy), 2.0) + 0.5):
+                    push(gp, gc)
+                    continue
+            except RuntimeError:
+                pass  # no graph path — keep the geometric fallback
+        push([pc.pts for pc in pieces],
+             [np.full(len(pc.pts), int(pc.option), np.int32)
+              for pc in pieces])
+
+    xy = np.concatenate(pts, axis=0)
+    cmd = np.concatenate(cmds, axis=0)
+    keep = np.ones(len(xy), dtype=bool)
+    keep[1:] = np.linalg.norm(np.diff(xy, axis=0), axis=1) > 1e-6
+    xy, cmd = xy[keep], cmd[keep]
+    d = np.diff(xy, axis=0)
+    yaw_seg = np.arctan2(d[:, 1], d[:, 0])
+    yaw = np.concatenate([yaw_seg, yaw_seg[-1:]])
+    s = np.concatenate([[0.0], np.cumsum(np.linalg.norm(d, axis=1))])
+    cmd = _collapse_lane_changes(cmd)
+    plan_idx = _downsample(xy, cmd, sample_factor=50.0)
+    return DenseRoute(
+        xy=xy, yaw=yaw, cmd=cmd, s=s,
+        plan_xy=xy[plan_idx], plan_cmd=cmd[plan_idx],
+    )
 
 
 def densify_route(waypoints: np.ndarray, step: float = 1.0) -> DenseRoute:
@@ -973,6 +1099,97 @@ def repair_graph_to_mask(graph: LaneGraph, geometry,
     )
 
 
+def smooth_dense_route(
+    dense: DenseRoute, geometry=None, min_radius: float = 4.6,
+    span: float = 6.0, max_passes: int = 3,
+) -> DenseRoute:
+    """Replace every over-curvature corner of a dense route with a
+    bounded-curvature Dubins splice (scene/town.py::_sample_uturn — CSC/CCC
+    words at ``min_radius``).
+
+    Dense routes are assembled from several sources (posed-leg blends,
+    evidence-graph A* slices, mask-planned splices); their seams can leave
+    kinks the hero vehicle cannot steer (min turning radius ~4.2 m,
+    sim/dynamics.py:46-48), and the graph contains turnaround connectors
+    that retrace a lane (a 180-degree point reversal — CARLA's median
+    U-turns). Either way the fix is the same: take the poses ``span``
+    metres before and after the offending corner group and re-connect them
+    with a Dubins path. With ``geometry`` the candidate words are scored
+    by H5 road-mask adherence first (depth in 0.5 m buckets), length
+    second, and spans deeper than 2.5 m off-road also trigger a re-splice
+    — drivability is guaranteed by construction, mask adherence is
+    best-effort. This mirrors what CARLA's planner gets for free from
+    OpenDRIVE junction-connector geometry."""
+    if geometry is not None:
+        from gail_carla_tpu.scene import mask_geo
+
+    def pick(q0, y0, q1, y1):
+        cands = _sample_uturn(q0, y0, q1, y1, radius=min_radius,
+                              candidates=True)
+        if geometry is None:
+            return min(cands, key=lambda lp: lp[0])[1]
+
+        def score(lp):
+            ln, pts = lp
+            sd = mask_geo.boundary_signed_distance(geometry.bnd_ab, pts)
+            depth = max(0.0, -float(sd.min()))
+            return (round(depth * 2.0) / 2.0, ln)
+
+        return min(cands, key=score)[1]
+
+    xy, cmd = dense.xy, dense.cmd
+    for _ in range(max_passes):
+        seg = np.diff(xy, axis=0)
+        ln = np.linalg.norm(seg, axis=1)
+        good = ln > 1e-6
+        gidx = np.nonzero(good)[0]
+        if len(gidx) < 3:
+            break
+        hdg = np.arctan2(seg[gidx][:, 1], seg[gidx][:, 0])
+        turn = np.abs(np.vectorize(_wrap)(np.diff(hdg)))
+        bad = gidx[1:][turn > 0.7]      # corner point index into xy
+        if geometry is not None:
+            sd_all = mask_geo.boundary_signed_distance(geometry.bnd_ab, xy)
+            deep = np.nonzero(sd_all < -2.5)[0]
+            deep = deep[(deep > 2) & (deep < len(xy) - 3)]
+            bad = np.unique(np.concatenate([bad, deep]))
+        if len(bad) == 0:
+            break
+        # group nearby corners, splice back-to-front to keep indices valid
+        s = np.concatenate([[0.0], np.cumsum(ln)])
+        groups: List[Tuple[int, int]] = []
+        for b in bad:
+            if groups and s[b] - s[groups[-1][1]] < 2.0 * span:
+                groups[-1] = (groups[-1][0], int(b))
+            else:
+                groups.append((int(b), int(b)))
+        for b0, b1 in reversed(groups):
+            i0 = int(np.searchsorted(s, s[b0] - span))
+            i1 = int(np.searchsorted(s, s[b1] + span))
+            i0 = max(0, min(i0, len(xy) - 2))
+            i1 = max(i0 + 1, min(i1, len(xy) - 1))
+            yaw0 = math.atan2(*(xy[min(i0 + 1, len(xy) - 1)]
+                                - xy[i0])[::-1])
+            yaw1 = math.atan2(*(xy[i1] - xy[max(i1 - 1, 0)])[::-1])
+            new = pick(xy[i0], yaw0, xy[i1], yaw1)
+            fill = np.full(len(new), int(cmd[(b0 + b1) // 2]), np.int32)
+            xy = np.concatenate([xy[:i0], new, xy[i1 + 1:]], axis=0)
+            cmd = np.concatenate([cmd[:i0], fill, cmd[i1 + 1:]])
+        keep = np.ones(len(xy), dtype=bool)
+        keep[1:] = np.linalg.norm(np.diff(xy, axis=0), axis=1) > 1e-6
+        xy, cmd = xy[keep], cmd[keep]
+    d = np.diff(xy, axis=0)
+    yaw_seg = np.arctan2(d[:, 1], d[:, 0])
+    yaw = (np.concatenate([yaw_seg, yaw_seg[-1:]])
+           if len(yaw_seg) else np.zeros(1))
+    s = np.concatenate([[0.0], np.cumsum(np.linalg.norm(d, axis=1))])
+    plan_idx = _downsample(xy, cmd, sample_factor=50.0)
+    return DenseRoute(
+        xy=xy, yaw=yaw, cmd=cmd, s=s,
+        plan_xy=xy[plan_idx], plan_cmd=cmd[plan_idx],
+    )
+
+
 def repair_dense_route(dense: DenseRoute, geometry,
                        clearance: float = 1.0) -> DenseRoute:
     """Repair a task's dense route polyline and recompute the derived
@@ -1125,7 +1342,9 @@ def make_town_scene(
         dense, kept = [], []
         for r in bench:
             if len(r.waypoints) >= 4:
-                dense.append(densify_route(r.waypoints))
+                dense.append(
+                    densify_route_hybrid(r.waypoints, graph, geometry)
+                )
                 kept.append(r)
                 continue
             try:
@@ -1143,14 +1362,17 @@ def make_town_scene(
         if geometry is not None:
             from gail_carla_tpu.scene import mask_geo
 
-            fixed = []
-            for r, d0 in zip(bench, dense):
+            def depth_of(xy) -> float:
+                sd = mask_geo.boundary_signed_distance(geometry.bnd_ab, xy)
+                return max(0.0, -float(sd.min()))
+
+            def fix_route(r, d0):
+                """Full repair pipeline for one dense route: project to
+                mask -> whole-route graph re-plan if still deep -> plan
+                bad spans on the road mask -> Dubins drivability pass."""
                 dr = repair_dense_route(d0, geometry)
-                sd = mask_geo.boundary_signed_distance(
-                    geometry.bnd_ab, dr.xy
-                )
-                if float(sd.min()) < -3.0 and len(r.waypoints) >= 4:
-                    # a still-deep off-road span means the geometric leg
+                if depth_of(dr.xy) > 3.0 and len(r.waypoints) >= 4:
+                    # a still-deep off-road span means the leg
                     # reconstruction cut across ground the road never
                     # covers (winding Town03+ legs between far-apart
                     # waypoints) — projection repair cannot recover a
@@ -1162,20 +1384,14 @@ def make_town_scene(
                             trace_route(graph, r.waypoints, use_yaw=True),
                             geometry,
                         )
-                        sd2 = mask_geo.boundary_signed_distance(
-                            geometry.bnd_ab, dr2.xy
-                        )
-                        if float(sd2.min()) > float(sd.min()):
+                        if depth_of(dr2.xy) < depth_of(dr.xy):
                             dr = dr2
                     except RuntimeError:
                         pass
                     # still deep off-road (re-plan failed or the graph has
                     # no lanes there): plan the bad spans directly on the
                     # H5 road mask
-                    sd3 = mask_geo.boundary_signed_distance(
-                        geometry.bnd_ab, dr.xy
-                    )
-                    if float(sd3.min()) < -3.0:
+                    if depth_of(dr.xy) > 3.0:
                         from gail_carla_tpu.scene.h5_maps import road_mask
 
                         rm = road_mask(town)
@@ -1183,16 +1399,28 @@ def make_town_scene(
                             dr = splice_offroad_spans(
                                 dr, geometry, rm[0], rm[1]
                             )
-                        sd4 = mask_geo.boundary_signed_distance(
-                            geometry.bnd_ab, dr.xy
-                        )
-                        if float(sd4.min()) < -3.0:
-                            print(
-                                f"make_town_scene: route {r.route_id} "
-                                f"keeps an off-road span "
-                                f"(depth {-float(sd4.min()):.1f} m)",
-                                file=sys.stderr,
-                            )
+                # final drivability pass: splice out seam kinks, graph
+                # turnaround reversals and residual off-road spans with
+                # mask-scored Dubins paths
+                return smooth_dense_route(dr, geometry)
+
+            fixed = []
+            for r, d0 in zip(bench, dense):
+                dr = fix_route(r, d0)
+                if depth_of(dr.xy) > 3.0 and len(r.waypoints) >= 4:
+                    # the hybrid (graph-legged) variant ended badly —
+                    # run the same pipeline on the pure posed-leg
+                    # reconstruction and keep whichever ends shallower
+                    alt = fix_route(r, densify_route(r.waypoints))
+                    if depth_of(alt.xy) < depth_of(dr.xy):
+                        dr = alt
+                if depth_of(dr.xy) > 3.0:
+                    print(
+                        f"make_town_scene: route {r.route_id} "
+                        f"keeps an off-road span "
+                        f"(depth {depth_of(dr.xy):.1f} m)",
+                        file=sys.stderr,
+                    )
                 fixed.append(dr)
             dense = fixed
         _TOWN_SCENE_CACHE[key] = build_scene(

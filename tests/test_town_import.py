@@ -340,6 +340,51 @@ def test_town03_benchmark_routes_stay_on_road():
         )
 
 
+def test_uturn_teardrop_is_drivable():
+    """Anti-parallel waypoint pairs (Town03 median U-turns, e.g.
+    routes_training.xml (197.6,58.8)->(197.6,62.1)) densify into a Dubins
+    teardrop: correct endpoints/headings and curvature within the hero
+    vehicle's steering envelope (min radius ~4.2 m, sim/dynamics.py:46-48)
+    — NOT a sub-metre hairpin."""
+    import math
+
+    from gail_carla_tpu.scene.town import _sample_uturn
+    from gail_carla_tpu.scene.town_import import densify_leg
+
+    p0 = np.array([197.6, 58.8])
+    p1 = np.array([197.6, 62.1])
+    pts = _sample_uturn(p0, math.pi, p1, 0.0)
+    assert np.allclose(pts[0], p0) and np.allclose(pts[-1], p1, atol=0.2)
+    seg = np.diff(pts, axis=0)
+    good = np.linalg.norm(seg, axis=1) > 1e-6
+    hdg = np.arctan2(seg[good][:, 1], seg[good][:, 0])
+    turn = np.abs((np.diff(hdg) + np.pi) % (2 * np.pi) - np.pi)
+    # 1 m steps on an r=4.6 circle bend ~12.5 deg/pt; hairpins were ~170
+    assert float(np.degrees(turn.max())) < 16.0
+    assert abs((hdg[0] - math.pi + math.pi) % (2 * math.pi) - math.pi) < 0.2
+    # densify_leg routes U-turn legs through the teardrop path
+    pieces = densify_leg(p0, math.pi, p1, 0.0)
+    assert len(pieces) == 1
+    assert len(pieces[0].pts) > 20  # teardrop ~30 m, hairpin was ~4 pts
+
+
+def test_town03_routes_have_no_hairpins():
+    """No dense Town03 benchmark route bends beyond the steering envelope
+    between ~1 m samples (the pre-round-3 hairpin U-turns spun the expert
+    off-road on routes 3/8/9/16/17)."""
+    sc = make_town_scene("Town03")
+    for rid in range(int(sc.n_routes)):
+        n = int(sc.route_n[rid])
+        xy = np.asarray(sc.route_xy[rid, :n], np.float64)
+        seg = np.diff(xy, axis=0)
+        good = np.linalg.norm(seg, axis=1) > 1e-6
+        hdg = np.arctan2(seg[good][:, 1], seg[good][:, 0])
+        turn = np.abs((np.diff(hdg) + np.pi) % (2 * np.pi) - np.pi)
+        assert float(np.degrees(turn.max())) < 45.0, (
+            f"route {rid}: {float(np.degrees(turn.max())):.0f} deg kink"
+        )
+
+
 @pytest.mark.slow
 def test_corl2017_pack_runs_on_real_town01():
     """CoRL2017 on the reconstructed town (corl2017_env.py:28-46): the
