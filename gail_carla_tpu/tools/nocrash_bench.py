@@ -26,7 +26,7 @@ import sys
 
 
 def run_tier(scene, cfg, net, params, rng, episodes: int,
-             max_steps: int):
+             max_steps: int, expert: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -38,18 +38,37 @@ def run_tier(scene, cfg, net, params, rng, episodes: int,
     R = scene.n_routes
     route_ids = jnp.arange(R, dtype=jnp.int32)
 
+    if expert:
+        # the NoCrash ceiling: the compliant autopilot hazard-brakes for
+        # lead vehicles/walkers (agents/autopilot.py:240-255), so its
+        # success rate bounds what traffic-aware imitation can reach
+        from gail_carla_tpu.agents.autopilot import (
+            autopilot_act, make_autopilot, reset_autopilot_where,
+        )
+
+        ap0 = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (R,) + a.shape), make_autopilot()
+        )
+
     @jax.jit
     def run(rng):
         states, metrics, render = reset_batch(scene, cfg, rng, route_ids)
 
         def body(carry, _):
-            st, metrics, render, latched = carry
-            obs = _obs_batch(scene, cfg, render, metrics)
-            _, action, _ = policy_mod.act(
-                net, params, obs, metrics, jax.random.PRNGKey(0),
-                deterministic=True,
-            )
+            st, ap, metrics, render, latched = carry
+            if expert:
+                ap, action = jax.vmap(
+                    lambda a, w: autopilot_act(scene, a, w, 6.0, True)
+                )(ap, st)
+            else:
+                obs = _obs_batch(scene, cfg, render, metrics)
+                _, action, _ = policy_mod.act(
+                    net, params, obs, metrics, jax.random.PRNGKey(0),
+                    deterministic=True,
+                )
             st2, out = step_batch(scene, cfg, st, action)
+            if expert:
+                ap = jax.vmap(reset_autopilot_where)(out.done, ap)
             first = out.done & (~latched["done"])
 
             def latch(key):
@@ -61,7 +80,7 @@ def run_tier(scene, cfg, net, params, rng, episodes: int,
                 "collision": latch("collision"),
                 "score_composed": latch("score_composed"),
             }
-            return (st2, out.metrics, out.render, latched), None
+            return (st2, ap, out.metrics, out.render, latched), None
 
         latched0 = {
             "done": jnp.zeros((R,), bool),
@@ -69,8 +88,9 @@ def run_tier(scene, cfg, net, params, rng, episodes: int,
             "collision": jnp.zeros((R,), bool),
             "score_composed": jnp.zeros((R,)),
         }
-        (_, _, _, latched), _ = jax.lax.scan(
-            body, (states, metrics, render, latched0), None,
+        ap_c = ap0 if expert else jnp.zeros((R,))
+        (_, _, _, _, latched), _ = jax.lax.scan(
+            body, (states, ap_c, metrics, render, latched0), None,
             length=max_steps,
         )
         return latched
@@ -95,7 +115,10 @@ def run_tier(scene, cfg, net, params, rng, episodes: int,
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--ckpt", required=True)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--expert", action="store_true",
+                   help="score the compliant scripted expert instead of a "
+                        "policy (the traffic-aware imitation ceiling)")
     p.add_argument("--town", default="Town01",
                    choices=["Town01", "Town02"])
     p.add_argument("--obs-mode", default="bev6",
@@ -108,6 +131,8 @@ def main(argv=None):
                    help="episodes per route per weather group")
     p.add_argument("--max-steps", type=int, default=2400)
     args = p.parse_args(argv)
+    if not args.ckpt and not args.expert:
+        p.error("one of --ckpt or --expert is required")
 
     import dataclasses
 
@@ -134,7 +159,10 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, train=False, obs_mode=args.obs_mode
         )
-        if net is None:
+        if args.expert:
+            # the expert never renders; skip BEV for a pure-sim scan
+            cfg = dataclasses.replace(cfg, obs_mode="state")
+        elif net is None:
             c = 6 if args.obs_mode == "bev6" else 3
             net, params = init_policy(
                 jax.random.PRNGKey(0), ModelConfig(),
@@ -154,14 +182,14 @@ def main(argv=None):
             )
             res = run_tier(
                 scene, cfg, net, params, rng, args.episodes,
-                args.max_steps,
+                args.max_steps, expert=args.expert,
             )
             table[f"{tier}/{wg}"] = res
             print(f"{args.town} {tier:8s} {wg:6s} "
                   f"success {res['success_rate']:5.1f}% "
                   f"ds {res['mean_driving_score']}", file=sys.stderr)
     print(json.dumps({"town": args.town, "obs_mode": args.obs_mode,
-                      "table": table}))
+                      "expert": args.expert, "table": table}))
 
 
 if __name__ == "__main__":

@@ -330,6 +330,16 @@ def main(argv=None):
                         "(tools/gen_trajectories.py output — the "
                         "reference's ExpertDataset input format) instead "
                         "of generating demos on device")
+    p.add_argument("--npc-vehicles", type=int, default=None,
+                   help="background NPC vehicles per world during "
+                        "training, demos AND eval (the reference's "
+                        "leaderboard_env.py:34-49 zeroes these; NoCrash "
+                        "regular tier is 20/15 per nocrash_env.py:29-55). "
+                        "Demos need --compliant-demos so the expert "
+                        "hazard-brakes (agents/autopilot.py:240-255)")
+    p.add_argument("--npc-walkers", type=int, default=None,
+                   help="background NPC walkers per world (see "
+                        "--npc-vehicles)")
     args = p.parse_args(argv)
 
     preset = make_presets()[args.preset]
@@ -364,6 +374,14 @@ def main(argv=None):
     if args.terminal_mode:
         env_cfg = dataclasses.replace(
             env_cfg, terminal_mode=args.terminal_mode
+        )
+    if args.npc_vehicles is not None:
+        env_cfg = dataclasses.replace(
+            env_cfg, n_npc_vehicles=args.npc_vehicles
+        )
+    if args.npc_walkers is not None:
+        env_cfg = dataclasses.replace(
+            env_cfg, n_npc_walkers=args.npc_walkers
         )
     run(
         env_cfg, preset["model"], tcfg, preset["scene"],
