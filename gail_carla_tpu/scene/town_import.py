@@ -1298,6 +1298,60 @@ def splice_offroad_spans(
 
 _TOWN_SCENE_CACHE: Dict[Tuple, object] = {}
 
+_DISK_CACHE_DIR = os.path.join(os.path.dirname(__file__), os.pardir,
+                               os.pardir, ".scene_cache")
+
+
+def _scene_cache_path(key: Tuple) -> str:
+    """Town scenes are pure functions of (args, scene-code, route data);
+    reconstruction + mask repair costs ~10 CPU-minutes per town on this
+    one-core host, so completed scenes are memoized to disk. The cache key
+    folds in the mtimes of every module in gail_carla_tpu/scene so any
+    geometry-code edit invalidates it."""
+    import hashlib
+
+    scene_dir = os.path.dirname(__file__)
+    stamp = sorted(
+        (f, os.path.getmtime(os.path.join(scene_dir, f)))
+        for f in os.listdir(scene_dir) if f.endswith(".py")
+    )
+    h = hashlib.sha256(repr((key, stamp)).encode()).hexdigest()[:24]
+    return os.path.join(_DISK_CACHE_DIR, f"scene_{h}.pkl")
+
+
+def _scene_cache_load(path: str):
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                scene = pickle.load(f)
+            # the pickle holds host numpy leaves (device_get at save time);
+            # restore jnp arrays or traced indexing (route_n[tracer] under
+            # vmap) raises TracerArrayConversionError on the numpy leaf
+            return jax.tree_util.tree_map(jnp.asarray, scene)
+    except Exception:
+        pass
+    return None
+
+
+def _scene_cache_save(path: str, scene) -> None:
+    import pickle
+
+    import jax
+
+    try:
+        os.makedirs(_DISK_CACHE_DIR, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(jax.device_get(scene), f)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+
 
 def make_town_scene(
     town: str = "Town01",
@@ -1324,6 +1378,11 @@ def make_town_scene(
 
     key = (town, route_file, root, route_pts_pad, n_patrols)
     if key not in _TOWN_SCENE_CACHE:
+        cache_path = _scene_cache_path(key)
+        cached = _scene_cache_load(cache_path)
+        if cached is not None:
+            _TOWN_SCENE_CACHE[key] = cached
+            return cached
         from gail_carla_tpu.scene.h5_maps import load_town_geometry
 
         bench = benchmark_routes(town, route_file, root)
@@ -1427,4 +1486,5 @@ def make_town_scene(
             graph, bench, dense=dense, route_pts_pad=route_pts_pad,
             n_patrols=n_patrols, geometry=geometry,
         )
+        _scene_cache_save(cache_path, _TOWN_SCENE_CACHE[key])
     return _TOWN_SCENE_CACHE[key]

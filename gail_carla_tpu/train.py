@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import json
 import sys
 import time
 
@@ -78,19 +79,32 @@ def make_presets():
     # multi-lane towns (VERDICT r3 item #3): same benchmark shape as
     # town01 — the Town03/Town04 blocks of routes_training.xml, route 3
     # held out. CHANGELANE legs in these packs exercise commands 5/6.
+    # Town03/04 leaderboard routes run 0.7-2.3 km (vs Town01's ~0.4 km), so
+    # episodes get the demo-generation cap (carla_exp.py:25 env_ep_length
+    # 6000; the reference evaluates with NO timeout, terminal/leaderboard.py)
+    # and demos the same. Training routes are restricted to the ones the
+    # compliant expert COMPLETES (docs/results/r3_town03_expert_fixed.json:
+    # routes 3/4/7/8/9/16/17 end in collisions on un-plannable off-road
+    # spans — an expert-impossible route contributes zero demos and, as
+    # eval route, aborts startup). Route 13 is held out, mirroring the
+    # town01 shape.
     town03 = dict(
-        env=EnvConfig(train=True),
+        env=EnvConfig(train=True, max_time=600.0),
         model=ModelConfig(),
-        train=TrainConfig(n_envs=10),
+        train=TrainConfig(
+            n_envs=10,
+            routes=(0, 1, 2, 5, 6, 10, 11, 12, 14, 15),
+            eval_route=13,
+        ),
         scene=dict(town="Town03"),
-        demo_steps=4000,
+        demo_steps=6000,
     )
     town04 = dict(
-        env=EnvConfig(train=True),
+        env=EnvConfig(train=True, max_time=600.0),
         model=ModelConfig(),
         train=TrainConfig(n_envs=10),
         scene=dict(town="Town04"),
-        demo_steps=4000,
+        demo_steps=6000,
     )
     return {"smoke": smoke, "reference": reference, "town01": town01,
             "town03": town03, "town04": town04}
@@ -100,7 +114,7 @@ def run(env_cfg, model_cfg, tcfg, scene_kwargs, demo_steps,
         max_updates=None, log_dir="runs/wdgail", ckpt_dir=None,
         use_sharding=None, profile=False, demo_obey_signals=False,
         eval_all_routes=False, ckpt_keep=2, init_params=None,
-        eval_seeds=1, demo_tree=None):
+        eval_seeds=1, demo_tree=None, eval_chunk=0):
     scene = make_scene(scene_kwargs)
     writer = MetricsWriter(log_dir)
 
@@ -186,6 +200,15 @@ def run(env_cfg, model_cfg, tcfg, scene_kwargs, demo_steps,
     t0 = time.time() - elapsed0
     eval_metrics = {}
     best_score = -1.0
+    if ckpt_dir and tcfg.resume_training:
+        # a resumed run must not clobber ckpt_dir/best with a worse
+        # post-resume eval: restore the recorded best score too
+        try:
+            with open(f"{ckpt_dir}/best_score.json") as f:
+                best_score = float(json.load(f)["score"])
+            print(f"resumed best score {best_score:.2f}", file=sys.stderr)
+        except (OSError, ValueError, KeyError):
+            pass
     while int(state.update_i) < n_updates:
         if profile and int(state.update_i) == 1:
             # SURVEY §5: the reference has no tracing at all; we capture a
@@ -215,14 +238,28 @@ def run(env_cfg, model_cfg, tcfg, scene_kwargs, demo_steps,
                 # in-train scores stay comparable across updates so
                 # best-checkpoint selection isn't eval-seed lottery
                 # (VERDICT r2 weak #2: 1-ep/route scores are ±10 noisy)
-                evr = evaluate_policy(
-                    scene, env_cfg, learner.policy_net,
-                    state.policy_params, jax.random.PRNGKey(4242),
-                    route_ids=np.tile(
-                        np.arange(scene.n_routes), eval_seeds
-                    ),
-                    max_steps=env_cfg.max_steps,
-                )
+                all_ids = np.tile(np.arange(scene.n_routes), eval_seeds)
+                # optionally split the table eval into fixed-size env
+                # chunks: big towns x long caps (Town03: 40 envs x 6000
+                # steps) have crashed the remote TPU worker in one shot,
+                # and equal-size chunks reuse one compiled executable
+                chunk = eval_chunk or len(all_ids)
+                pad = (-len(all_ids)) % chunk
+                all_ids = np.concatenate([all_ids, all_ids[:pad]])
+                parts = [
+                    evaluate_policy(
+                        scene, env_cfg, learner.policy_net,
+                        state.policy_params, jax.random.PRNGKey(4242),
+                        route_ids=all_ids[j:j + chunk],
+                        max_steps=env_cfg.max_steps,
+                    )
+                    for j in range(0, len(all_ids), chunk)
+                ]
+                evr = {
+                    k: np.concatenate([np.asarray(p[k]) for p in parts])[
+                        :len(all_ids) - pad]
+                    for k in parts[0]
+                }
                 eval_metrics.update({
                     "eval/mean_driving_score": float(
                         np.mean(evr["score_composed"])
@@ -247,6 +284,8 @@ def run(env_cfg, model_cfg, tcfg, scene_kwargs, demo_steps,
                         f"{ckpt_dir}/best_params",
                         {"params": state.policy_params},
                     )
+                    with open(f"{ckpt_dir}/best_score.json", "w") as f:
+                        json.dump({"score": best_score, "update": i}, f)
                     print(
                         f"new best mean driving score {best_score:.1f} "
                         f"at update {i}", file=sys.stderr,
@@ -319,6 +358,11 @@ def main(argv=None):
                    help="envs per route in the --eval-all-routes "
                         "leaderboard eval (multi-seed mean reduces "
                         "best-checkpoint selection noise)")
+    p.add_argument("--eval-chunk", type=int, default=0,
+                   help="max envs per evaluate_policy call in the "
+                        "--eval-all-routes table (0 = one shot); big "
+                        "towns x long caps can OOM the TPU worker in a "
+                        "single 40-env scan")
     p.add_argument("--seed", type=int, default=None,
                    help="training seed (TrainConfig.seed: net init, "
                         "rollout sampling, demo generation)")
@@ -392,6 +436,7 @@ def main(argv=None):
         init_params=args.init_params,
         eval_seeds=args.eval_seeds,
         demo_tree=args.demo_tree,
+        eval_chunk=args.eval_chunk,
     )
 
 

@@ -418,3 +418,34 @@ def test_corl2017_pack_runs_on_real_town01():
             jnp.tile(jnp.array([0.0, 0.6]), (2, 1)),
         )
     assert np.isfinite(np.asarray(out.reward)).all()
+
+
+def test_scene_disk_cache_roundtrip(town01_scene, tmp_path):
+    """Scenes reloaded from the disk cache must behave exactly like
+    freshly built ones: pickle stores host numpy leaves (device_get at
+    save), so the loader has to restore jnp arrays — a numpy route_n
+    indexed by a vmap tracer raises TracerArrayConversionError."""
+    from gail_carla_tpu.scene.town_import import (
+        _scene_cache_load,
+        _scene_cache_save,
+    )
+
+    path = str(tmp_path / "scene.pkl")
+    _scene_cache_save(path, town01_scene)
+    loaded = _scene_cache_load(path)
+    assert loaded is not None
+
+    for fresh_leaf, cached_leaf in zip(
+        jax.tree_util.tree_leaves(town01_scene),
+        jax.tree_util.tree_leaves(loaded),
+    ):
+        assert isinstance(cached_leaf, jnp.ndarray)
+        np.testing.assert_array_equal(
+            np.asarray(fresh_leaf), np.asarray(cached_leaf)
+        )
+
+    # the exact failure mode: traced per-env route indexing under vmap
+    picked = jax.vmap(lambda i: loaded.route_n[i])(jnp.arange(4))
+    np.testing.assert_array_equal(
+        np.asarray(picked), np.asarray(town01_scene.route_n)[:4]
+    )

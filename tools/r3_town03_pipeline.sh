@@ -2,41 +2,61 @@
 # Round-3 Town03 multi-lane training (VERDICT r2 next-step #3).
 #
 # Same two-stage recipe as tools/r3_town01_pipeline.sh on the
-# reconstructed Town03 (routes_training.xml Town03 block, route 3 held
-# out; CHANGELANE legs exercise commands 5/6). Gate: the compliant
-# expert's own ceiling on these routes is 75.21 at the 6000-step cap
-# (docs/results/r3_town03_expert_fixed.json) — 7 routes still end in
-# collisions, so in-train eval means are structurally capped ~75.
+# reconstructed Town03 (routes_training.xml Town03 block). Town03
+# specifics baked into the preset (train.py::make_presets):
+#   - 600 s episode cap (routes run 0.7-2.3 km; the reference's expert
+#     generation cap, carla_exp.py:25 env_ep_length=6000),
+#   - training routes restricted to the 10 the compliant expert
+#     COMPLETES (docs/results/r3_town03_expert_6000.json: routes
+#     3/8/9/16/17 end in collisions on un-plannable off-road spans),
+#     route 13 held out for eval.
+# The in-train table eval is chunked (--eval-chunk 20): the one-shot
+# 40-env x 6000-step scan crashed the remote TPU worker once
+# (docs/results/logs/r3t3_s0_stage1.log), and each stage retries with
+# --resume so a transient worker crash costs minutes, not the run
+# (best_score persists across resume via ckpt/best_score.json).
+#
 # Target (VERDICT): trained driving score >= 40 vs 3.7 zero-shot.
 #
 # Usage: bash tools/r3_town03_pipeline.sh [seed]   (one chip; ~1.5 h)
 set -u
 cd /root/repo
-mkdir -p docs/results/logs
+mkdir -p docs/results/logs docs/results/ckpts
 SEED="${1:-0}"
 
 S1=runs/r3t3_s${SEED}_stage1
 S2=runs/r3t3_s${SEED}_stage2
 
+# run_stage <log> <cmd...>: run, retrying twice with --resume on failure
+run_stage() {
+  local log="$1"; shift
+  "$@" >"$log" 2>&1 && return 0
+  for attempt in 2 3; do
+    echo "=== stage attempt $attempt (resume) ===" >>"$log"
+    "$@" --resume >>"$log" 2>&1 && return 0
+  done
+  return 1
+}
+
 if [ ! -d "$S1/ckpt/best_params" ]; then
   echo "=== town03 seed $SEED: stage 1 (leaderboard, fresh init) ==="
-  python -m gail_carla_tpu.train --preset town03 --obs-mode bev6 \
-    --compliant-demos --eval-all-routes --eval-seeds 2 \
+  run_stage docs/results/logs/r3t3_s${SEED}_stage1.log \
+    python -m gail_carla_tpu.train --preset town03 --obs-mode bev6 \
+    --compliant-demos --eval-all-routes --eval-seeds 2 --eval-chunk 20 \
     --disc-lr-decay --norm-gail-reward --seed $SEED \
     --max-updates 130 \
-    --log-dir $S1 --ckpt-dir $S1/ckpt \
-    > docs/results/logs/r3t3_s${SEED}_stage1.log 2>&1 || exit 1
+    --log-dir $S1 --ckpt-dir $S1/ckpt || exit 1
 fi
 
 if [ ! -d "$S2/ckpt/best_params" ]; then
   echo "=== town03 seed $SEED: stage 2 (dagger warm start) ==="
-  python -m gail_carla_tpu.train --preset town03 --obs-mode bev6 \
-    --compliant-demos --eval-all-routes --eval-seeds 2 \
+  run_stage docs/results/logs/r3t3_s${SEED}_stage2.log \
+    python -m gail_carla_tpu.train --preset town03 --obs-mode bev6 \
+    --compliant-demos --eval-all-routes --eval-seeds 2 --eval-chunk 20 \
     --terminal-mode leaderboard_dagger --gail-reward-shift 2.5 \
     --disc-lr-decay --norm-gail-reward --seed $SEED \
     --init-params $S1/ckpt/best_params --max-updates 110 \
-    --log-dir $S2 --ckpt-dir $S2/ckpt \
-    > docs/results/logs/r3t3_s${SEED}_stage2.log 2>&1 || exit 1
+    --log-dir $S2 --ckpt-dir $S2/ckpt || exit 1
 fi
 
 echo "=== town03 seed $SEED: final 3-seed leaderboard eval (6000-step cap) ==="
