@@ -12,7 +12,7 @@
 #     route 13 held out for eval.
 # The in-train table eval is chunked (--eval-chunk 20): the one-shot
 # 40-env x 6000-step scan crashed the remote TPU worker once
-# (docs/results/logs/r3t3_s0_stage1.log), and each stage retries with
+# (docs/results/logs/r3t3_s0_stage1_crash.log), and each stage retries with
 # --resume so a transient worker crash costs minutes, not the run
 # (best_score persists across resume via ckpt/best_score.json).
 #
