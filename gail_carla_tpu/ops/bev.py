@@ -173,6 +173,20 @@ def fetch_bnd_cell(scene: StaticScene, xy):
     return segs, n
 
 
+def fetch_hard_cell(scene: StaticScene, xy):
+    """One env's oriented hard-surface (curb-to-wall) boundary edges:
+    (segs (Mh, 4), n_live) — the layout-collision geometry
+    (sim/collisions.py::static_collision). Aliases the road boundary on
+    procedural towns (scene.py::build_scene)."""
+    cy, cx = _cell_of(scene, xy)
+    mh = scene.cell_hard.shape[2]
+    segs = jax.lax.dynamic_slice(
+        scene.cell_hard, (cy, cx, 0, 0), (1, 1, mh, 4)
+    )[0, 0]
+    n = jax.lax.dynamic_slice(scene.cell_hard_n, (cy, cx), (1, 1))[0, 0]
+    return segs, n
+
+
 def fetch_cell_counts(scene: StaticScene, xy):
     """(n_bnd, n_lane) live segment counts of the ego's cell — dynamic
     trip counts for the Pallas loops (the tables are padded to the busiest

@@ -45,7 +45,7 @@ CACHE_DIR = os.path.join(
     "h5maps",
 )
 PPM = 5.0
-_VERSION = 3  # bump to invalidate caches
+_VERSION = 4  # bump to invalidate caches
 
 
 @dataclasses.dataclass
@@ -63,6 +63,14 @@ class TownGeometry:
     sidewalk_paths: List[np.ndarray]   # [(K, 2) world metres]
     sidewalk_ab: np.ndarray         # (Bs, 4) oriented sidewalk boundary
     sidewalk_dmax: float
+    # hard (curb-to-wall) surface: road|shoulder|parking|sidewalk union.
+    # CARLA's collision sensor fires on physical mesh contact only
+    # (criteria/collision.py:49-112) — mounting a curb onto the sidewalk
+    # is NOT a collision there (it costs OutsideRouteLane instead), so the
+    # layout-collision test must run against this union, not the road
+    # alone. Beyond it lie the buildings/fences/poles that do collide.
+    hard_ab: Optional[np.ndarray] = None    # (Bh, 4)
+    hard_dmax: float = 0.0
 
 
 def _h5_path(town: str) -> str:
@@ -88,9 +96,16 @@ def _extract(town: str, max_err_px: float) -> TownGeometry:
         lane_all = np.asarray(hf["lane_marking_all"]) > 0
         white_broken = np.asarray(hf["lane_marking_white_broken"]) > 0
         sidewalk = np.asarray(hf["sidewalk"]) > 0
+        hard = road | sidewalk
+        for layer in ("shoulder", "parking"):
+            if layer in hf:
+                hard |= np.asarray(hf[layer]) > 0
 
     bnd_ab, bnd_dmax = mask_geo.mask_boundary_edges(
         road, off, PPM, max_err_px=max_err_px
+    )
+    hard_ab, hard_dmax = mask_geo.mask_boundary_edges(
+        hard, off, PPM, max_err_px=max_err_px
     )
 
     # chauffeurnet.py:186-189: c_lane = 255*all, then 120 where
@@ -126,6 +141,7 @@ def _extract(town: str, max_err_px: float) -> TownGeometry:
         lane_ab=lane_ab, lane_val=lane_val, lane_hw=lane_hw,
         sidewalk_paths=sidewalk_paths,
         sidewalk_ab=sw_ab, sidewalk_dmax=sw_dmax,
+        hard_ab=hard_ab, hard_dmax=hard_dmax,
     )
 
 
@@ -179,6 +195,7 @@ def load_town_geometry(
             ],
             sidewalk_ab=z["sidewalk_ab"],
             sidewalk_dmax=float(z["sidewalk_dmax"]),
+            hard_ab=z["hard_ab"], hard_dmax=float(z["hard_dmax"]),
         )
         _MEM_CACHE[key] = geo
         return geo
@@ -196,6 +213,7 @@ def load_town_geometry(
             lane_hw=geo.lane_hw,
             n_sw=len(geo.sidewalk_paths),
             sidewalk_ab=geo.sidewalk_ab, sidewalk_dmax=geo.sidewalk_dmax,
+            hard_ab=geo.hard_ab, hard_dmax=geo.hard_dmax,
             **{
                 f"sw_{i}": p for i, p in enumerate(geo.sidewalk_paths)
             },

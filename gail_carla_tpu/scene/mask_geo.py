@@ -610,3 +610,45 @@ def plan_on_mask(
         [np.interp(s_new, s, w[:, 0]), np.interp(s_new, s, w[:, 1])],
         axis=1,
     )
+
+
+def refine_polyline_inside(
+    edges: np.ndarray,
+    xy: np.ndarray,
+    clearance: float = 0.75,
+    freeze: int = 3,
+    lam: float = 0.4,
+    iters: int = 250,
+) -> np.ndarray:
+    """Elastic-band refinement: the smoothest deformation of ``xy`` whose
+    interior stays ``clearance`` m inside the oriented boundary ``edges``.
+
+    Alternates a Laplacian smoothing step with projection of violating
+    points back to the clearance line; the first/last ``freeze`` points
+    are pinned so the refined span splices seamlessly into its route.
+    Point count is preserved (companion per-point arrays — commands —
+    stay aligned). This is the repair the mask-planned A* splice
+    (``plan_on_mask``) cannot provide: its grid staircase keeps curvature
+    the hero cannot steer (min turning radius ~4.2 m), while smoothing
+    WITHOUT the projection step cuts corners back off the mask — the
+    failure mode of the round-3 Town03 routes whose repaired spans were
+    all rejected on exactly one of those two axes.
+    """
+    out = np.asarray(xy, np.float64).copy()
+    n = len(out)
+    if n < 2 * freeze + 3 or len(edges) == 0:
+        return out
+    interior = np.zeros(n, bool)
+    interior[freeze:n - freeze] = True
+    for _ in range(iters):
+        sm = 0.5 * (out[:-2] + out[2:])
+        out[1:-1][interior[1:-1]] += lam * (
+            sm[interior[1:-1]] - out[1:-1][interior[1:-1]]
+        )
+        closest, sd, inward = boundary_project(edges, out[interior])
+        viol = sd < clearance
+        if viol.any():
+            moved = out[interior]
+            moved[viol] = closest[viol] + inward[viol] * clearance
+            out[interior] = moved
+    return out

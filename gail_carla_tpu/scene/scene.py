@@ -111,6 +111,17 @@ class StaticScene:
     cell_bnd: jnp.ndarray = None      # (Gy, Gx, Mb, 4) f32
     cell_bnd_n: jnp.ndarray = None    # (Gy, Gx) i32
     bnd_dmax: float = struct.field(pytree_node=False, default=40.0)
+
+    # --- hard (curb-to-wall) boundary: road|shoulder|parking|sidewalk
+    #     union for imported towns; aliases cell_bnd for procedural ones.
+    #     CARLA's collision sensor fires on mesh contact only
+    #     (criteria/collision.py:49-112) — curb overruns onto the pavement
+    #     are not collisions there, so the layout-collision test
+    #     (sim/collisions.py::static_collision) runs against THIS surface
+    #     while the BEV road channel keeps the road-only contour. ---
+    cell_hard: jnp.ndarray = None     # (Gy, Gx, Mh, 4) f32
+    cell_hard_n: jnp.ndarray = None   # (Gy, Gx) i32
+    hard_dmax: float = struct.field(pytree_node=False, default=40.0)
     cell_lane_w: jnp.ndarray = None   # (Gy, Gx, Ml) f32 marking half width
 
     # --- sidewalk centreline paths (walker navigation; H5 ``sidewalk``
@@ -313,6 +324,17 @@ def build_scene(
     cell_bnd, cell_bnd_n = seg_mod.build_bnd_cells(
         bnd_ab, table.grid_lo, gy_, gx_, table.cell_size, bnd_dmax
     )
+    if geometry is not None and getattr(geometry, "hard_ab", None) is not None \
+            and len(geometry.hard_ab):
+        hard_ab = np.asarray(geometry.hard_ab, np.float32).reshape(-1, 4)
+        hard_dmax = float(geometry.hard_dmax)
+        cell_hard, cell_hard_n = seg_mod.build_bnd_cells(
+            hard_ab, table.grid_lo, gy_, gx_, table.cell_size, hard_dmax
+        )
+    else:
+        # procedural towns: the rasterized road corridor IS the whole
+        # drivable world — off it is a wall
+        cell_hard, cell_hard_n, hard_dmax = cell_bnd, cell_bnd_n, bnd_dmax
 
     # sidewalk walker paths + per-path road-crossing offsets (the signed
     # lateral displacement that carries a walker from this pavement across
@@ -424,6 +446,9 @@ def build_scene(
         cell_bnd=jnp.asarray(cell_bnd),
         cell_bnd_n=jnp.asarray(cell_bnd_n),
         bnd_dmax=bnd_dmax,
+        cell_hard=jnp.asarray(cell_hard),
+        cell_hard_n=jnp.asarray(cell_hard_n),
+        hard_dmax=hard_dmax,
         walk_xy=walk_xy,
         walk_yaw=walk_yaw,
         walk_n=walk_n,

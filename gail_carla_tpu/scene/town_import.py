@@ -1292,6 +1292,68 @@ def splice_offroad_spans(
     )
 
 
+def refine_dense_route(
+    dense: DenseRoute, geometry, clearance: float = 0.75, pad: int = 12,
+) -> DenseRoute:
+    """Final drivability stage: elastic-band refinement
+    (``mask_geo.refine_polyline_inside``) of every span of a dense route
+    that comes within ``clearance`` m of the HARD (curb-to-wall) surface
+    boundary — the geometry ``sim/collisions.py::static_collision`` tests,
+    beyond which CARLA's buildings/fences/poles produce real collision
+    events (``criteria/collision.py:49-112``).
+
+    The earlier stages leave exactly two residual defect classes: mask-
+    planned A* splices whose grid staircase exceeds the hero's steering
+    envelope, and smoothed seams that cut a corner back off the surface.
+    The elastic band fixes both at once — Laplacian smoothing with a
+    projection step that keeps the interior ``clearance`` m inside the
+    boundary. Spans are refined independently with frozen ends so the
+    repair splices seamlessly and per-point arrays (cmd) stay aligned."""
+    from gail_carla_tpu.scene import mask_geo
+
+    edges = getattr(geometry, "hard_ab", None)
+    if edges is None or not len(edges):
+        edges = geometry.bnd_ab
+    xy = np.asarray(dense.xy, np.float64)
+    sd = mask_geo.boundary_signed_distance(edges, xy)
+    bad = sd < clearance
+    if not bad.any():
+        return dense
+
+    n = len(xy)
+    regions: List[List[int]] = []
+    i = 0
+    while i < n:
+        if not bad[i]:
+            i += 1
+            continue
+        j = i
+        while j + 1 < n and bad[j + 1]:
+            j += 1
+        ia, ib = max(0, i - pad), min(n - 1, j + pad)
+        if regions and ia <= regions[-1][1] + pad:
+            regions[-1][1] = ib
+        else:
+            regions.append([ia, ib])
+        i = j + 1
+
+    out = xy.copy()
+    for ia, ib in regions:
+        out[ia:ib + 1] = mask_geo.refine_polyline_inside(
+            edges, out[ia:ib + 1], clearance=clearance
+        )
+    d = np.diff(out, axis=0)
+    yaw_seg = np.arctan2(d[:, 1], d[:, 0])
+    yaw = (np.concatenate([yaw_seg, yaw_seg[-1:]])
+           if len(yaw_seg) else np.zeros(1))
+    s = np.concatenate([[0.0], np.cumsum(np.linalg.norm(d, axis=1))])
+    plan_idx = _downsample(out, dense.cmd, sample_factor=50.0)
+    return DenseRoute(
+        xy=out, yaw=yaw, cmd=dense.cmd, s=s,
+        plan_xy=out[plan_idx], plan_cmd=dense.cmd[plan_idx],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scene assembly
 # ---------------------------------------------------------------------------
@@ -1458,10 +1520,13 @@ def make_town_scene(
                             dr = splice_offroad_spans(
                                 dr, geometry, rm[0], rm[1]
                             )
-                # final drivability pass: splice out seam kinks, graph
+                # penultimate pass: splice out seam kinks, graph
                 # turnaround reversals and residual off-road spans with
-                # mask-scored Dubins paths
-                return smooth_dense_route(dr, geometry)
+                # mask-scored Dubins paths; then elastic-band every span
+                # still grazing the hard (curb-to-wall) surface
+                return refine_dense_route(
+                    smooth_dense_route(dr, geometry), geometry
+                )
 
             fixed = []
             for r, d0 in zip(bench, dense):

@@ -36,12 +36,16 @@ class DynHits(NamedTuple):
 
 
 def static_collision(scene, params: VehicleParams, ego: VehicleState,
-                     bnd_segs):
-    """Fires when the vehicle has fully left the drivable surface (all four
-    bounding-box corners outside the town's road mask — the same oriented
-    boundary geometry the BEV road channel renders, so physics and pixels
-    agree by construction). ``bnd_segs`` comes from the step's single
-    shared fetch_bnd_cell."""
+                     bnd_segs, dmax=None):
+    """Fires when the vehicle has fully left the HARD surface (all four
+    bounding-box corners off road|shoulder|parking|sidewalk). CARLA's
+    collision sensor only reports physical mesh contact
+    (criteria/collision.py:49-112): mounting a curb onto the pavement is
+    not a collision there (it costs OutsideRouteLane instead,
+    outside_route_lane.py:5-103); past the pavement edge lie the
+    buildings/fences/poles that do collide. ``bnd_segs`` comes from the
+    step's single shared fetch_hard_cell (road-only fetch_bnd_cell on
+    procedural towns, where the tables alias)."""
     from gail_carla_tpu.ops.bev import boundary_inside
 
     c, s = jnp.cos(ego.yaw), jnp.sin(ego.yaw)
@@ -50,7 +54,9 @@ def static_collision(scene, params: VehicleParams, ego: VehicleState,
     corners = ego.xy[None, :] + jnp.stack(
         [f + r, f - r, -f + r, -f - r], axis=0
     )
-    on_road = boundary_inside(corners, bnd_segs, scene.bnd_dmax)
+    if dmax is None:
+        dmax = scene.bnd_dmax
+    on_road = boundary_inside(corners, bnd_segs, dmax)
     return ~jnp.any(on_road)
 
 

@@ -220,7 +220,7 @@ def step_env(
     ``carla_env.py:120-126``. Auto-resets on done and returns the *new*
     episode's observation with the finished episode's reward/done/info,
     mirroring the SubprocVecEnv worker."""
-    from gail_carla_tpu.ops.bev import fetch_bnd_cell, fetch_cell
+    from gail_carla_tpu.ops.bev import fetch_cell, fetch_hard_cell
     from gail_carla_tpu.sim import criteria as crit
     from gail_carla_tpu.sim import rewards as rew
     from gail_carla_tpu.sim import signals
@@ -303,9 +303,9 @@ def step_env(
 
     # --- collisions (one shared spatial-hash fetch per step) ---
     road_segs, road_flag, _, _, _ = fetch_cell(scene, ego.xy)
-    bnd_segs, _ = fetch_bnd_cell(scene, ego.xy)
+    hard_segs, _ = fetch_hard_cell(scene, ego.xy)
     raw_static = static_collision(
-        scene, params, ego, bnd_segs
+        scene, params, ego, hard_segs, dmax=scene.hard_dmax
     ) | obstacle_collision(scene, params, ego)
     hits = dynamic_collisions(state.traffic, params, ego)
     ev = dedup_events(

@@ -182,6 +182,72 @@ def test_town01_bev_matches_reference_pixels():
     assert np.mean(lane_ious) >= 0.90, lane_ious
 
 
+def test_refine_polyline_inside_smooths_and_clears():
+    """Elastic-band refinement (town-route final stage): a staircase path
+    grazing a corridor wall comes back point-count-preserved, end-pinned,
+    >= clearance inside the boundary, and smoother than it went in."""
+    m = np.zeros((40, 120), bool)
+    m[14:26, 4:116] = True          # 6 m tall corridor at ppm=2
+    edges, _ = mask_geo.mask_boundary_edges(
+        m, np.zeros(2), 2.0, max_err_px=0.2
+    )
+    # 1 m-step staircase hugging the top wall (y ~= 12.2 of wall 12.5)
+    xs = np.arange(4.0, 56.0, 1.0)
+    ys = 11.6 + 0.45 * (np.arange(len(xs)) % 2)
+    xy = np.stack([xs, ys], axis=1)
+    xy[:3, 1] = 9.5                 # frozen ends sit mid-corridor
+    xy[-3:, 1] = 9.5
+    out = mask_geo.refine_polyline_inside(edges, xy, clearance=0.75)
+    assert out.shape == xy.shape
+    np.testing.assert_allclose(out[:3], xy[:3])
+    np.testing.assert_allclose(out[-3:], xy[-3:])
+    sd = mask_geo.boundary_signed_distance(edges, out[3:-3])
+    assert float(sd.min()) >= 0.6, float(sd.min())
+
+    def max_turn(p):
+        seg = np.diff(p, axis=0)
+        g = np.linalg.norm(seg, axis=1) > 1e-9
+        hdg = np.arctan2(seg[g][:, 1], seg[g][:, 0])
+        return float(
+            np.abs((np.diff(hdg) + np.pi) % (2 * np.pi) - np.pi).max()
+        )
+
+    assert max_turn(out) < 0.5 * max_turn(xy)
+
+
+@needs_h5
+def test_hard_surface_union_spans_curb_to_wall():
+    """The hard (curb-to-wall) collision surface is the
+    road|shoulder|parking|sidewalk union: sidewalk points are OUTSIDE the
+    road boundary but INSIDE the hard boundary (CARLA's collision sensor
+    only fires on physical meshes past the pavement,
+    criteria/collision.py:49-112)."""
+    import h5py
+
+    from gail_carla_tpu.scene.h5_maps import PPM, load_town_geometry
+
+    geo = load_town_geometry("Town01")
+    assert geo.hard_ab is not None and len(geo.hard_ab) > 100
+    with h5py.File(os.path.join(H5_DIR, "Town01.h5"), "r") as f:
+        off = np.asarray(f.attrs["world_offset_in_meters"], np.float64)
+        road = np.asarray(f["road"]) > 0
+        sidewalk = np.asarray(f["sidewalk"]) > 0
+    # erode the sidewalk-only region one pixel so samples sit clear of
+    # both boundaries, then sample a few hundred points
+    only = sidewalk & ~road
+    core = (
+        only[1:-1, 1:-1] & only[:-2, 1:-1] & only[2:, 1:-1]
+        & only[1:-1, :-2] & only[1:-1, 2:]
+    )
+    ys, xs = np.nonzero(core)
+    sel = np.linspace(0, len(ys) - 1, 300).astype(int)
+    pts = np.stack([xs[sel] + 1, ys[sel] + 1], 1) / PPM + off[None, :]
+    sd_road = mask_geo.boundary_signed_distance(geo.bnd_ab, pts)
+    sd_hard = mask_geo.boundary_signed_distance(geo.hard_ab, pts)
+    assert (sd_road < 0).mean() > 0.98, (sd_road < 0).mean()
+    assert (sd_hard > 0).mean() > 0.98, (sd_hard > 0).mean()
+
+
 @needs_h5
 def test_town_geometry_all_towns_load():
     from gail_carla_tpu.scene.h5_maps import (

@@ -91,6 +91,17 @@ def test_build_scene_shapes(town):
     vals = np.unique(np.asarray(sc.cell_lane_val))
     assert 255.0 in vals and 120.0 in vals
 
+    # procedural towns have no curb-to-wall layers: the hard (collision)
+    # boundary aliases the road boundary exactly
+    assert sc.cell_hard.shape == sc.cell_bnd.shape
+    np.testing.assert_array_equal(
+        np.asarray(sc.cell_hard), np.asarray(sc.cell_bnd)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sc.cell_hard_n), np.asarray(sc.cell_bnd_n)
+    )
+    assert sc.hard_dmax == sc.bnd_dmax
+
 
 def test_benchmark_scene_builds_and_caches():
     s1 = make_benchmark_scene(n_routes=2, nx=3, ny=3, block=80.0,
