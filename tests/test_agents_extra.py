@@ -14,22 +14,6 @@ def scene():
                                 min_length=150.0)
 
 
-def test_constant_speed_agent_holds_speed(scene):
-    from gail_carla_tpu.agents.scenario_agents import (
-        constant_speed_act, make_constant_speed,
-    )
-    from gail_carla_tpu.sim.dynamics import VehicleState, step_vehicle
-
-    st = make_constant_speed()
-    v = VehicleState(xy=jnp.zeros(2), yaw=jnp.zeros(()),
-                     speed=jnp.zeros(()))
-    for _ in range(150):
-        st, a = constant_speed_act(st, v, 5.0)
-        v = step_vehicle(v, a[0], a[1], 0.0)
-    assert abs(float(v.speed) - 5.0) < 1.0
-    assert abs(float(v.xy[1])) < 1e-3  # steers straight
-
-
 def test_gps_autopilot_makes_route_progress(scene):
     from gail_carla_tpu.agents.gps_autopilot import (
         gps_autopilot_act, make_gps_autopilot,
