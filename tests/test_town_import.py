@@ -340,6 +340,29 @@ def test_town03_benchmark_routes_stay_on_road():
         )
 
 
+@pytest.mark.slow
+def test_town03_benchmark_routes_clear_hard_surface():
+    """Every Town03 benchmark route keeps real clearance inside the hard
+    (curb-to-wall) collision surface — the elastic-band refinement stage's
+    guarantee. Routes may legally leave the ROAD mask (sidewalk/parking
+    spans cost OutsideRouteLane, criteria/outside_route_lane.py), but a
+    route grazing the hard boundary would fail as a layout collision
+    (collision.py:49-112 fires only on physical meshes)."""
+    from gail_carla_tpu.scene import mask_geo
+    from gail_carla_tpu.scene.h5_maps import load_town_geometry
+
+    sc = make_town_scene("Town03")
+    geo = load_town_geometry("Town03")
+    for rid in range(int(sc.n_routes)):
+        n = int(sc.route_n[rid])
+        xy = np.asarray(sc.route_xy[rid, :n], np.float64)
+        sd = mask_geo.boundary_signed_distance(geo.hard_ab, xy)
+        assert float(sd.min()) >= 0.39, (
+            f"route {rid} clearance {float(sd.min()):.2f} m inside the "
+            "hard surface"
+        )
+
+
 def test_uturn_teardrop_is_drivable():
     """Anti-parallel waypoint pairs (Town03 median U-turns, e.g.
     routes_training.xml (197.6,58.8)->(197.6,62.1)) densify into a Dubins
