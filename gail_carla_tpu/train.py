@@ -384,6 +384,18 @@ def main(argv=None):
     p.add_argument("--npc-walkers", type=int, default=None,
                    help="background NPC walkers per world (see "
                         "--npc-vehicles)")
+    p.add_argument("--routes", default=None,
+                   help="comma-separated training route ids, overriding "
+                        "the preset (reference: params_variable.json:13 "
+                        "lists the demo routes; routes the expert cannot "
+                        "complete contribute zero demos, algo/expert.py)")
+    p.add_argument("--eval-route", type=int, default=None,
+                   help="held-out route id (TrainConfig.eval_route)")
+    p.add_argument("--n-envs", type=int, default=None,
+                   help="training envs; route assignment round-robins "
+                        "routes[env_id %% len(routes)] (tools/envs.py:29-"
+                        "33), so a multiple of len(routes) covers every "
+                        "training route each rollout")
     args = p.parse_args(argv)
 
     preset = make_presets()[args.preset]
@@ -404,6 +416,14 @@ def main(argv=None):
         tcfg = dataclasses.replace(tcfg, gail_norm_reward=True)
     if args.eval_interval:
         tcfg = dataclasses.replace(tcfg, eval_interval=args.eval_interval)
+    if args.routes:
+        tcfg = dataclasses.replace(
+            tcfg, routes=tuple(int(r) for r in args.routes.split(","))
+        )
+    if args.eval_route is not None:
+        tcfg = dataclasses.replace(tcfg, eval_route=args.eval_route)
+    if args.n_envs is not None:
+        tcfg = dataclasses.replace(tcfg, n_envs=args.n_envs)
     if args.max_updates and (args.disc_lr_decay
                              or tcfg.use_linear_lr_decay):
         # LR schedules decay over n_updates = num_env_steps / num_steps;
