@@ -2,13 +2,20 @@
 
 Each suite builds (StaticScene, EnvConfig, task list). A task is a dict
 {weather, route_id, n_npc_vehicles, n_npc_walkers} like the reference's task
-dicts (``nocrash_env.py:60-76``); weather is metadata only (the reference's
-WeatherHandler instantiation is commented out, carla_multi_agent_env.py:36,
-71-72 — presets never change physics there either).
+dicts (``nocrash_env.py:60-76``). Weather presets drive the closed-form
+Sun/Storm model (sim/weather.py — parity-tested against the reference's
+dynamic_weather.py recurrences) and the camera/headlight lighting; they do
+not alter vehicle physics, matching the reference (its WeatherHandler
+instantiation is commented out, carla_multi_agent_env.py:36,71-72).
 
-Since towns here are procedural, route *shape* filtering replaces the
-per-town XML route packs: CoRL2017's straight / one_curve / navigation
-classes are selected by turn count of the traced route.
+With a ``town`` argument, suites run on the H5-reconstructed real towns and
+the reference's shipped per-town route packs (NoCrash / CoRL2017
+``scenario_descriptions/**/routes.xml``); without one they fall back to a
+procedural grid town where route *shape* filtering (turn count) replaces
+the packs. NPC traffic runs at the reference's full per-tier densities
+(nocrash_env.py:29-55 — e.g. Town01 dense = 100 vehicles / 250 walkers);
+per-world actor arrays are dense, so tier density sets the compiled actor
+count.
 """
 from __future__ import annotations
 
@@ -115,9 +122,8 @@ def nocrash_suite(
     (``scenario_descriptions/NoCrash/<route_description>/<town>/routes.xml``
     — 25 start/goal pairs planned through the completed lane graph;
     nocrash_env.py:57-59). Without it, the procedural grid town. Traffic
-    densities follow nocrash_env.py:29-55 per town, CAPPED at 32 NPCs per
-    kind (our per-world actor arrays are dense; dense/leaderboard tiers
-    are reported with the cap noted)."""
+    densities follow nocrash_env.py:29-55 per town at the reference's FULL
+    counts (Town01 dense = 100/250)."""
     if town is not None:
         import os
 
@@ -135,8 +141,6 @@ def nocrash_suite(
                                  min_length=300.0, seed=seed)
         scene = build_scene(graph, routes)
     n_veh, n_wal = NOCRASH_TRAFFIC[town or "Town01"][background_traffic]
-    # our per-world NPC arrays are dense; cap to keep vmapped worlds cheap
-    n_veh, n_wal = min(n_veh, 32), min(n_wal, 32)
     cfg = EnvConfig(
         train=True, terminal_mode="leaderboard",
         n_npc_vehicles=n_veh, n_npc_walkers=n_wal,
@@ -236,7 +240,6 @@ def corl2017_suite(
         scene = make_town_scene(town, pack)
         dyn = task_type == "navigation_dynamic"
         n_veh, n_wal = CORL_DYNAMIC_TRAFFIC[town] if dyn else (0, 0)
-        n_veh, n_wal = min(n_veh, 32), min(n_wal, 32)
         cfg = EnvConfig(
             train=True, terminal_mode="leaderboard",
             n_npc_vehicles=n_veh, n_npc_walkers=n_wal,
@@ -264,7 +267,6 @@ def corl2017_suite(
     scene = build_scene(graph, picked)
     dyn = task_type == "navigation_dynamic"
     n_veh, n_wal = (20, 16) if dyn else (0, 0)
-    n_veh, n_wal = min(n_veh, 32), min(n_wal, 32)
     cfg = EnvConfig(
         train=True, terminal_mode="leaderboard",
         n_npc_vehicles=n_veh, n_npc_walkers=n_wal,
@@ -324,7 +326,7 @@ def endless_suite(
     nxt = np.arange(1, len(rows) + 1, dtype=np.int32)
     nxt[-1] = len(rows) - 1   # last row has no continuation
     scene = scene.replace(endless_next=jnp.asarray(nxt))
-    n_veh, n_wal = min(n_npc_vehicles, 32), min(n_npc_walkers, 32)
+    n_veh, n_wal = n_npc_vehicles, n_npc_walkers
     cfg = EnvConfig(
         train=True, terminal_mode="valeo", max_time=max_time,
         endless_extension=True,

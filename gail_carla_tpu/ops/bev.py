@@ -91,9 +91,12 @@ def capsule_min_dist2(px, seg_ab):
 
 
 def boundary_dist_cross(px, bnd_segs):
-    """(P, S) squared distance AND cross sign vs oriented boundary edges,
-    op-ordered like the Pallas kernels' ``bnd_body`` for bit-identity.
-    cross(b-a, p-closest) > 0 means p is on the edge's interior side."""
+    """(P, S) squared distance AND length-normalized cross vs oriented
+    boundary edges, op-ordered like the Pallas kernels' ``bnd_body`` for
+    bit-identity. cross(b-a, p-closest)/|b-a| > 0 means p is on the edge's
+    interior side; the normalization makes |crn| comparable across edges
+    (it equals |p-closest|·sin of the edge/offset angle), which the robust
+    vertex-tie resolution in ``boundary_inside`` relies on."""
     a = bnd_segs[None, :, :2]
     b = bnd_segs[None, :, 2:]
     ab = b - a
@@ -105,7 +108,8 @@ def boundary_dist_cross(px, bnd_segs):
     d = (px[:, None, :] - a) - t[..., None] * ab
     d2 = jnp.sum(d * d, -1)
     cr = ab[..., 0] * d[..., 1] - ab[..., 1] * d[..., 0]
-    return d2, cr
+    crn = cr * jnp.sqrt(inv_denom)
+    return d2, crn
 
 
 def boundary_inside(px, bnd_segs, dmax):
@@ -116,14 +120,24 @@ def boundary_inside(px, bnd_segs, dmax):
     (segments.py::build_bnd_cells margin = pixel_reach + dmax): any pixel
     within dmax of its true nearest edge finds that edge in the table, and
     any pixel farther than dmax from every edge is provably outside (dmax
-    is the mask's deepest interior point), which the guard enforces. Tie
-    resolution = first occurrence, matching the kernels' sequential
-    strict-< min."""
-    d2, cr = boundary_dist_cross(px, bnd_segs)
+    is the mask's deepest interior point), which the guard enforces.
+
+    Tie resolution: at a shared VERTEX of two edges both are exactly
+    equidistant, and every point whose nearest feature is that vertex — a
+    2D cone reaching up to dmax into the interior — would get a floating-
+    point-noise inside sign from a first-occurrence argmin (the round-3
+    phantom static collisions on plain road). Among edges within a
+    relative tie window of the minimum, the one with the largest
+    NORMALIZED |cross| (most perpendicular to the offset = unambiguous
+    sign) wins — the two-candidate collapse of the angle-weighted
+    pseudo-normal rule, identical to the kernels' running-best carry and
+    host ``mask_geo._nearest_edge_robust``."""
+    d2, crn = boundary_dist_cross(px, bnd_segs)
     d2min = jnp.min(d2, axis=1)
-    m = d2 == d2min[:, None]
-    first = m & (jnp.cumsum(m.astype(jnp.int32), axis=1) == 1)
-    cr_sel = jnp.sum(jnp.where(first, cr, 0.0), axis=1)
+    near = d2 <= d2min[:, None] * (1.0 + 1e-3) + 1e-6
+    score = jnp.where(near, jnp.abs(crn), -jnp.inf)
+    best = jnp.argmax(score, axis=1)
+    cr_sel = jnp.take_along_axis(crn, best[:, None], axis=1)[:, 0]
     return (cr_sel > 0.0) & (d2min <= dmax * dmax)
 
 

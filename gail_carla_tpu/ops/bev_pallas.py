@@ -95,29 +95,39 @@ def _kernel(
         )
 
     def seg_d2_cross(seg_ref, i):
-        """Like seg_d2 but also the cross of the edge with p-closest —
-        the oriented-boundary inside sign (ops/bev.py::boundary_dist_cross
-        op order, for bit-identity with the XLA reference)."""
+        """Like seg_d2 but also the LENGTH-NORMALIZED cross of the edge
+        with p-closest — the oriented-boundary inside sign
+        (ops/bev.py::boundary_dist_cross op order, for bit-identity with
+        the XLA reference). All normalization work is per-segment scalar
+        (SPU); the vector pipeline still runs multiply-adds only."""
         ax = seg_ref[0, i, 0]
         ay = seg_ref[0, i, 1]
         abx = seg_ref[0, i, 2] - ax
         aby = seg_ref[0, i, 3] - ay
         inv_denom = 1.0 / (abx * abx + aby * aby + 1e-9)
+        inv_len = jnp.sqrt(inv_denom)
         aab = ax * abx + ay * aby
         t = jnp.clip(
             (pxx * abx + pxy * aby - aab) * inv_denom, 0.0, 1.0
         )
         dx = (pxx - ax) - t * abx
         dy = (pxy - ay) - t * aby
-        return dx * dx + dy * dy, abx * dy - aby * dx
+        return dx * dx + dy * dy, (abx * dy - aby * dx) * inv_len
 
-    # road channel: nearest oriented boundary edge decides inside/outside
-    # (first strict-< winner = XLA's first-occurrence argmin)
+    # road channel: nearest oriented boundary edge decides inside/outside.
+    # Vertex ties (two edges exactly equidistant at a shared corner) are
+    # resolved by the larger |normalized cross| — the running-best carry
+    # form of ops/bev.py::boundary_inside's robust rule; a strict-< argmin
+    # gave fp-noise signs across the whole corner cone (phantom road holes
+    # / static collisions)
     def bnd_body(i, carry):
         d2min, crb = carry
-        d2, cr = seg_d2_cross(bnd_ref, i)
-        take = d2 < d2min
-        return (jnp.where(take, d2, d2min), jnp.where(take, cr, crb))
+        d2, crn = seg_d2_cross(bnd_ref, i)
+        near = d2 <= d2min * (1.0 + 1e-3) + 1e-6
+        take = (d2 < d2min * (1.0 - 1e-3)) | (
+            near & (jnp.abs(crn) > jnp.abs(crb))
+        )
+        return (jnp.minimum(d2, d2min), jnp.where(take, crn, crb))
 
     bnd_d2, bnd_cr = jax.lax.fori_loop(
         0, counts_ref[0, 0, 0], bnd_body,

@@ -167,6 +167,52 @@ def road_mask(town: str):
     return _ROAD_MASK_CACHE[town]
 
 
+_PLAN_MASK_CACHE = {}
+
+
+def hard_plan_mask(town: str, clearance_m: float = 0.8,
+                   road_slack_m: float = 2.0):
+    """(mask, world_offset) for splicing route spans that cross the hard
+    (curb-to-wall) surface boundary: the road|shoulder|parking|sidewalk
+    union ERODED by ``clearance_m`` — so any path planned on it keeps
+    layout-collision clearance by construction (collision.py:49-112 fires
+    on physical meshes past the pavement) — intersected with a
+    ``road_slack_m`` DILATION of the road layer, so the planned path also
+    cannot drift off the ROAD mask beyond the benchmark's off-road
+    tolerance. Falls back to the bare eroded union where the intersection
+    is empty. None if the pack is absent."""
+    key = (town, clearance_m, road_slack_m)
+    if key not in _PLAN_MASK_CACHE:
+        if not os.path.exists(_h5_path(town)):
+            _PLAN_MASK_CACHE[key] = None
+        else:
+            import math
+
+            import h5py
+            from scipy import ndimage
+
+            with h5py.File(_h5_path(town), "r") as hf:
+                off = np.asarray(
+                    hf.attrs["world_offset_in_meters"], np.float64
+                )
+                road = np.asarray(hf["road"]) > 0
+                hard = road | (np.asarray(hf["sidewalk"]) > 0)
+                for layer in ("shoulder", "parking"):
+                    if layer in hf:
+                        hard |= np.asarray(hf[layer]) > 0
+            er = ndimage.binary_erosion(
+                hard, iterations=int(math.ceil(clearance_m * PPM))
+            )
+            rd = ndimage.binary_dilation(
+                road, iterations=int(round(road_slack_m * PPM))
+            )
+            m = er & rd
+            if not m.any():
+                m = er
+            _PLAN_MASK_CACHE[key] = (m, off)
+    return _PLAN_MASK_CACHE[key]
+
+
 _MEM_CACHE = {}
 
 

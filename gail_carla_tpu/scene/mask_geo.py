@@ -29,7 +29,7 @@ Pixel convention (chauffeurnet.py:291-299): world = offset + (x_px, y_px)
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 from scipy import ndimage
@@ -215,11 +215,39 @@ def mask_boundary_edges(
     return edges, dmax
 
 
+def _nearest_edge_robust(edges, p, a, ab, inv):
+    """Shared inner loop of the point-vs-oriented-boundary tests: squared
+    distances, the ROBUSTLY chosen nearest edge per point, and its cross.
+
+    At a shared vertex of two edges, both are exactly equidistant and a
+    plain argmin tie-breaks on floating-point noise — every point whose
+    nearest boundary *feature* is that vertex (a 2D cone reaching up to
+    dmax into the interior) then gets an essentially random inside sign.
+    This printed phantom multi-metre "violations" onto plain-road spans of
+    the Town03 routes. The robust rule (the angle-weighted pseudo-normal
+    collapsed to two candidates): among edges within a relative tie window
+    of the minimum distance, trust the one whose LENGTH-NORMALIZED cross
+    is largest — the edge most perpendicular to the point's offset vector,
+    whose sign is unambiguous."""
+    t = np.clip(np.sum((p - a) * ab, -1) * inv, 0.0, 1.0)
+    d = (p - a) - t[..., None] * ab
+    d2 = np.sum(d * d, -1)
+    cr = ab[..., 0] * d[..., 1] - ab[..., 1] * d[..., 0]
+    crn = cr * np.sqrt(inv)
+    d2min = d2.min(axis=1)
+    near = d2 <= d2min[:, None] * (1.0 + 1e-3) + 1e-9
+    score = np.where(near, np.abs(crn), -np.inf)
+    j = np.argmax(score, axis=1)
+    return d2, d2min, j, crn
+
+
 def points_inside(edges: np.ndarray, dmax: float, pts: np.ndarray,
                   chunk: int = 4096) -> np.ndarray:
     """Host-side reference of the on-device test (ops/bev.py::
     boundary_inside): inside iff the nearest edge's cross is positive and
-    the distance is within dmax. Used by tests and fidelity reports."""
+    the distance is within dmax, with vertex ties resolved by the largest
+    normalized cross (``_nearest_edge_robust``). Used by tests and
+    fidelity reports."""
     if len(edges) == 0:
         return np.zeros(len(pts), bool)
     a = edges[None, :, :2].astype(np.float64)
@@ -228,13 +256,9 @@ def points_inside(edges: np.ndarray, dmax: float, pts: np.ndarray,
     out = np.zeros(len(pts), bool)
     for i in range(0, len(pts), chunk):
         p = pts[i:i + chunk, None, :].astype(np.float64)
-        t = np.clip(np.sum((p - a) * ab, -1) * inv, 0.0, 1.0)
-        d = (p - a) - t[..., None] * ab
-        d2 = np.sum(d * d, -1)
-        j = np.argmin(d2, axis=1)
+        _, d2min, j, crn = _nearest_edge_robust(edges, p, a, ab, inv)
         rows = np.arange(len(j))
-        cr = (ab[0, j, 0] * d[rows, j, 1] - ab[0, j, 1] * d[rows, j, 0])
-        out[i:i + chunk] = (cr > 0.0) & (d2[rows, j] <= dmax * dmax)
+        out[i:i + chunk] = (crn[rows, j] > 0.0) & (d2min <= dmax * dmax)
     return out
 
 
@@ -252,19 +276,19 @@ def boundary_project(edges: np.ndarray, pts: np.ndarray,
     inward = np.zeros((len(pts), 2))
     for i in range(0, len(pts), chunk):
         p = pts[i:i + chunk, None, :].astype(np.float64)
-        t = np.clip(np.sum((p - a) * ab, -1) * inv, 0.0, 1.0)
-        cp = a + t[..., None] * ab
-        d = p - cp
-        d2 = np.sum(d * d, -1)
-        j = np.argmin(d2, axis=1)
+        _, d2min, j, crn = _nearest_edge_robust(edges, p, a, ab, inv)
         rows = np.arange(len(j))
+        t = np.clip(
+            np.sum((p[:, 0] - a[0, j]) * ab[0, j], -1) * inv[0, j], 0.0, 1.0
+        )
+        cp = a[0, j] + t[:, None] * ab[0, j]
         e = ab[0, j]
-        dj = d[rows, j]
-        cr = e[:, 0] * dj[:, 1] - e[:, 1] * dj[:, 0]
         n = np.stack([-e[:, 1], e[:, 0]], axis=1)
         n /= np.linalg.norm(n, axis=1, keepdims=True) + 1e-12
-        closest[i:i + chunk] = cp[rows, j]
-        sd[i:i + chunk] = np.where(cr > 0, 1.0, -1.0) * np.sqrt(d2[rows, j])
+        closest[i:i + chunk] = cp
+        sd[i:i + chunk] = np.where(
+            crn[rows, j] > 0, 1.0, -1.0
+        ) * np.sqrt(d2min)
         inward[i:i + chunk] = n
     return closest, sd, inward
 
@@ -282,15 +306,11 @@ def boundary_signed_distance(edges: np.ndarray, pts: np.ndarray,
     out = np.zeros(len(pts))
     for i in range(0, len(pts), chunk):
         p = pts[i:i + chunk, None, :].astype(np.float64)
-        t = np.clip(np.sum((p - a) * ab, -1) * inv, 0.0, 1.0)
-        d = (p - a) - t[..., None] * ab
-        d2 = np.sum(d * d, -1)
-        j = np.argmin(d2, axis=1)
+        _, d2min, j, crn = _nearest_edge_robust(edges, p, a, ab, inv)
         rows = np.arange(len(j))
-        cr = (ab[0, j, 0] * d[rows, j, 1] - ab[0, j, 1] * d[rows, j, 0])
         out[i:i + chunk] = np.where(
-            cr > 0.0, 1.0, -1.0
-        ) * np.sqrt(d2[rows, j])
+            crn[rows, j] > 0.0, 1.0, -1.0
+        ) * np.sqrt(d2min)
     return out
 
 
@@ -612,6 +632,25 @@ def plan_on_mask(
     )
 
 
+def _resample_span(out: np.ndarray, freeze: int) -> np.ndarray:
+    """Uniform arc-length resample of a span's interior, keeping the first
+    and last ``freeze`` points exactly (splice anchors). Removes the
+    duplicate points and multi-metre index jumps a hard projection step
+    leaves behind; point count is preserved."""
+    n = len(out)
+    lo, hi = freeze - 1, n - freeze     # resample out[lo..hi] inclusive
+    mid = out[lo:hi + 1]
+    d = np.linalg.norm(np.diff(mid, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(d)])
+    if s[-1] < 1e-9:
+        return out
+    s_new = np.linspace(0.0, s[-1], hi - lo + 1)
+    res = out.copy()
+    res[lo:hi + 1, 0] = np.interp(s_new, s, mid[:, 0])
+    res[lo:hi + 1, 1] = np.interp(s_new, s, mid[:, 1])
+    return res
+
+
 def refine_polyline_inside(
     edges: np.ndarray,
     xy: np.ndarray,
@@ -619,36 +658,83 @@ def refine_polyline_inside(
     freeze: int = 3,
     lam: float = 0.4,
     iters: int = 250,
+    max_step: float = 0.3,
+    contain_edges: Optional[np.ndarray] = None,
+    contain_slack: float = 2.0,
 ) -> np.ndarray:
     """Elastic-band refinement: the smoothest deformation of ``xy`` whose
-    interior stays ``clearance`` m inside the oriented boundary ``edges``.
+    interior stays ``clearance`` m inside the oriented boundary ``edges``
+    (and, when ``contain_edges`` is given, within ``contain_slack`` m of
+    that secondary boundary — the H5 ROAD mask, so a hard-surface repair
+    cannot drift legally-but-unboundedly onto sidewalks/parking).
 
-    Alternates a Laplacian smoothing step with projection of violating
-    points back to the clearance line; the first/last ``freeze`` points
-    are pinned so the refined span splices seamlessly into its route.
-    Point count is preserved (companion per-point arrays — commands —
-    stay aligned). This is the repair the mask-planned A* splice
-    (``plan_on_mask``) cannot provide: its grid staircase keeps curvature
-    the hero cannot steer (min turning radius ~4.2 m), while smoothing
-    WITHOUT the projection step cuts corners back off the mask — the
-    failure mode of the round-3 Town03 routes whose repaired spans were
-    all rejected on exactly one of those two axes.
+    Each iteration composes three displacement fields — Laplacian
+    smoothing, a pull of clearance-violating points to the clearance line,
+    and a pull of containment-violating points back toward the road — then
+    SMOOTHES the combined field along the polyline and clamps each point's
+    move to ``max_step`` m. The round-3 version instead teleported every
+    violating point straight onto the clearance line of its *nearest*
+    edge; mid-corridor, the nearest lobe flips between opposite walls from
+    one point to the next, which printed zigzags (89-178 deg kinks),
+    collapsed duplicates and 14 m index jumps into the Town03 routes.
+    Coherent small steps cannot leapfrog a wall, and a periodic uniform
+    arc-length resample (``_resample_span``) keeps spacing sane. The
+    first/last ``freeze`` points are pinned so the refined span splices
+    seamlessly; point count is preserved (companion per-point arrays —
+    commands — stay aligned).
     """
     out = np.asarray(xy, np.float64).copy()
     n = len(out)
     if n < 2 * freeze + 3 or len(edges) == 0:
         return out
-    interior = np.zeros(n, bool)
-    interior[freeze:n - freeze] = True
-    for _ in range(iters):
+    # crop both boundaries to the span's bbox: the band's total motion is
+    # bounded well under this margin, and nearest-edge queries only need
+    # edges within it — a ~100x edge-count cut on town-scale boundaries
+    margin = 25.0
+    lo = out.min(axis=0) - margin
+    hi = out.max(axis=0) + margin
+
+    def crop(e):
+        if e is None or not len(e):
+            return e
+        exlo = np.minimum(e[:, 0], e[:, 2])
+        exhi = np.maximum(e[:, 0], e[:, 2])
+        eylo = np.minimum(e[:, 1], e[:, 3])
+        eyhi = np.maximum(e[:, 1], e[:, 3])
+        sel = ((exhi >= lo[0]) & (exlo <= hi[0])
+               & (eyhi >= lo[1]) & (eylo <= hi[1]))
+        return e[sel] if sel.any() else e
+
+    edges = crop(edges)
+    contain_edges = crop(contain_edges)
+    pinned = np.zeros(n, bool)
+    pinned[:freeze] = True
+    pinned[n - freeze:] = True
+    for it in range(iters):
+        disp = np.zeros_like(out)
         sm = 0.5 * (out[:-2] + out[2:])
-        out[1:-1][interior[1:-1]] += lam * (
-            sm[interior[1:-1]] - out[1:-1][interior[1:-1]]
-        )
-        closest, sd, inward = boundary_project(edges, out[interior])
+        disp[1:-1] = lam * (sm - out[1:-1])
+        closest, sd, inward = boundary_project(edges, out)
         viol = sd < clearance
         if viol.any():
-            moved = out[interior]
-            moved[viol] = closest[viol] + inward[viol] * clearance
-            out[interior] = moved
-    return out
+            disp[viol] += (closest[viol] + inward[viol] * clearance
+                           - out[viol])
+        if contain_edges is not None and len(contain_edges):
+            cc, sc, ic = boundary_project(contain_edges, out)
+            violc = sc < -contain_slack
+            if violc.any():
+                # target: the point at signed distance -contain_slack
+                disp[violc] += 0.5 * (
+                    cc[violc] - ic[violc] * contain_slack - out[violc]
+                )
+        disp[pinned] = 0.0
+        # coherent motion: smooth the displacement field so neighbours
+        # move together even when their nearest-edge lobes disagree
+        disp[1:-1] = 0.25 * disp[:-2] + 0.5 * disp[1:-1] + 0.25 * disp[2:]
+        disp[pinned] = 0.0
+        nrm = np.linalg.norm(disp, axis=1, keepdims=True)
+        scale = np.minimum(1.0, max_step / np.maximum(nrm, 1e-12))
+        out += disp * scale
+        if it % 25 == 24:
+            out = _resample_span(out, freeze)
+    return _resample_span(out, freeze)

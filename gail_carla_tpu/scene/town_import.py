@@ -1102,6 +1102,8 @@ def repair_graph_to_mask(graph: LaneGraph, geometry,
 def smooth_dense_route(
     dense: DenseRoute, geometry=None, min_radius: float = 4.6,
     span: float = 6.0, max_passes: int = 3,
+    score_ab: Optional[np.ndarray] = None, score_floor: float = 0.0,
+    respice_below: float = -2.5,
 ) -> DenseRoute:
     """Replace every over-curvature corner of a dense route with a
     bounded-curvature Dubins splice (scene/town.py::_sample_uturn — CSC/CCC
@@ -1116,12 +1118,19 @@ def smooth_dense_route(
     metres before and after the offending corner group and re-connect them
     with a Dubins path. With ``geometry`` the candidate words are scored
     by H5 road-mask adherence first (depth in 0.5 m buckets), length
-    second, and spans deeper than 2.5 m off-road also trigger a re-splice
-    — drivability is guaranteed by construction, mask adherence is
-    best-effort. This mirrors what CARLA's planner gets for free from
-    OpenDRIVE junction-connector geometry."""
+    second, and spans deeper than ``respice_below`` off-mask also trigger
+    a re-splice — drivability is guaranteed by construction, mask
+    adherence is best-effort. ``score_ab``/``score_floor`` switch the
+    scored boundary (e.g. the hard curb-to-wall surface with its
+    clearance floor, for seams left by hard-surface splices). This
+    mirrors what CARLA's planner gets for free from OpenDRIVE
+    junction-connector geometry."""
+    sab = score_ab
     if geometry is not None:
         from gail_carla_tpu.scene import mask_geo
+
+        if sab is None:
+            sab = geometry.bnd_ab
 
     def pick(q0, y0, q1, y1):
         cands = _sample_uturn(q0, y0, q1, y1, radius=min_radius,
@@ -1131,8 +1140,8 @@ def smooth_dense_route(
 
         def score(lp):
             ln, pts = lp
-            sd = mask_geo.boundary_signed_distance(geometry.bnd_ab, pts)
-            depth = max(0.0, -float(sd.min()))
+            sd = mask_geo.boundary_signed_distance(sab, pts)
+            depth = max(0.0, score_floor - float(sd.min()))
             return (round(depth * 2.0) / 2.0, ln)
 
         return min(cands, key=score)[1]
@@ -1149,8 +1158,8 @@ def smooth_dense_route(
         turn = np.abs(np.vectorize(_wrap)(np.diff(hdg)))
         bad = gidx[1:][turn > 0.7]      # corner point index into xy
         if geometry is not None:
-            sd_all = mask_geo.boundary_signed_distance(geometry.bnd_ab, xy)
-            deep = np.nonzero(sd_all < -2.5)[0]
+            sd_all = mask_geo.boundary_signed_distance(sab, xy)
+            deep = np.nonzero(sd_all < respice_below)[0]
             deep = deep[(deep > 2) & (deep < len(xy) - 3)]
             bad = np.unique(np.concatenate([bad, deep]))
         if len(bad) == 0:
@@ -1292,36 +1301,28 @@ def splice_offroad_spans(
     )
 
 
-def refine_dense_route(
-    dense: DenseRoute, geometry, clearance: float = 0.75, pad: int = 12,
-) -> DenseRoute:
-    """Final drivability stage: elastic-band refinement
-    (``mask_geo.refine_polyline_inside``) of every span of a dense route
-    that comes within ``clearance`` m of the HARD (curb-to-wall) surface
-    boundary — the geometry ``sim/collisions.py::static_collision`` tests,
-    beyond which CARLA's buildings/fences/poles produce real collision
-    events (``criteria/collision.py:49-112``).
+def _dense_from_xy(xy: np.ndarray, cmd: np.ndarray) -> DenseRoute:
+    """Rebuild a DenseRoute's derived arrays (yaw / arc-length / plan)
+    from repaired xy + aligned per-point commands."""
+    keep = np.ones(len(xy), dtype=bool)
+    keep[1:] = np.linalg.norm(np.diff(xy, axis=0), axis=1) > 1e-6
+    xy, cmd = xy[keep], cmd[keep]
+    d = np.diff(xy, axis=0)
+    yaw_seg = np.arctan2(d[:, 1], d[:, 0])
+    yaw = (np.concatenate([yaw_seg, yaw_seg[-1:]])
+           if len(yaw_seg) else np.zeros(1))
+    s = np.concatenate([[0.0], np.cumsum(np.linalg.norm(d, axis=1))])
+    plan_idx = _downsample(xy, cmd, sample_factor=50.0)
+    return DenseRoute(
+        xy=xy, yaw=yaw, cmd=cmd, s=s,
+        plan_xy=xy[plan_idx], plan_cmd=cmd[plan_idx],
+    )
 
-    The earlier stages leave exactly two residual defect classes: mask-
-    planned A* splices whose grid staircase exceeds the hero's steering
-    envelope, and smoothed seams that cut a corner back off the surface.
-    The elastic band fixes both at once — Laplacian smoothing with a
-    projection step that keeps the interior ``clearance`` m inside the
-    boundary. Spans are refined independently with frozen ends so the
-    repair splices seamlessly and per-point arrays (cmd) stay aligned."""
-    from gail_carla_tpu.scene import mask_geo
 
-    edges = getattr(geometry, "hard_ab", None)
-    if edges is None or not len(edges):
-        edges = geometry.bnd_ab
-    xy = np.asarray(dense.xy, np.float64)
-    sd = mask_geo.boundary_signed_distance(edges, xy)
-    bad = sd < clearance
-    if not bad.any():
-        return dense
-
-    n = len(xy)
+def _hard_regions(sd: np.ndarray, clearance: float, n: int, pad: int):
+    """Group indices with sd < clearance into padded [ia, ib] regions."""
     regions: List[List[int]] = []
+    bad = sd < clearance
     i = 0
     while i < n:
         if not bad[i]:
@@ -1330,28 +1331,148 @@ def refine_dense_route(
         j = i
         while j + 1 < n and bad[j + 1]:
             j += 1
-        ia, ib = max(0, i - pad), min(n - 1, j + pad)
+        # deep violations need a long lever arm: pulling a span D m
+        # sideways across a pad-long seam of ~1 m points turns the heading
+        # by atan(D/pad) — keep that under the steering envelope
+        depth = float(clearance - sd[i:j + 1].min())
+        p = max(pad, int(3.0 * depth))
+        ia, ib = max(0, i - p), min(n - 1, j + p)
         if regions and ia <= regions[-1][1] + pad:
-            regions[-1][1] = ib
+            regions[-1][1] = max(regions[-1][1], ib)
         else:
             regions.append([ia, ib])
         i = j + 1
+    return regions
 
-    out = xy.copy()
-    for ia, ib in regions:
-        out[ia:ib + 1] = mask_geo.refine_polyline_inside(
-            edges, out[ia:ib + 1], clearance=clearance
-        )
-    d = np.diff(out, axis=0)
-    yaw_seg = np.arctan2(d[:, 1], d[:, 0])
-    yaw = (np.concatenate([yaw_seg, yaw_seg[-1:]])
-           if len(yaw_seg) else np.zeros(1))
-    s = np.concatenate([[0.0], np.cumsum(np.linalg.norm(d, axis=1))])
-    plan_idx = _downsample(out, dense.cmd, sample_factor=50.0)
-    return DenseRoute(
-        xy=out, yaw=yaw, cmd=dense.cmd, s=s,
-        plan_xy=out[plan_idx], plan_cmd=dense.cmd[plan_idx],
+
+def refine_dense_route(
+    dense: DenseRoute, geometry, clearance: float = 0.75, pad: int = 12,
+    town: Optional[str] = None,
+) -> DenseRoute:
+    """Final drivability stage: pull every span of a dense route off the
+    HARD (curb-to-wall) surface boundary — the geometry
+    ``sim/collisions.py::static_collision`` tests, beyond which CARLA's
+    buildings/fences/poles produce real collision events
+    (``criteria/collision.py:49-112``) — without breaking the route's
+    other invariants (on-road within tolerance, steering-envelope
+    curvature).
+
+    Three sub-stages, matched to violation depth:
+
+    1. DEEP excursions (route crosses walls/terrain the hard union never
+       covers) are re-planned with A* on the ERODED hard mask intersected
+       with a road dilation (``h5_maps.hard_plan_mask``) — clearance and
+       road containment by construction; elastic deformation cannot fix a
+       7 m excursion without printing zigzags (the round-3 failure: the
+       hard-projection band put 89-178 deg kinks, collapsed duplicates
+       and 14 m jumps into 16/20 Town03 routes).
+    2. Seam kinks left by those splices get the Dubins pass
+       (``smooth_dense_route``) scored against the HARD boundary.
+    3. Residual shallow grazes get the coherent elastic band
+       (``mask_geo.refine_polyline_inside``): sub-metre moves are where
+       local deformation is the right tool.
+
+    Every repaired span is ACCEPTED only when a violation score — hard
+    clearance below the layout-collision threshold, kinks, off-road
+    depth — does not get worse; otherwise the input span is kept."""
+    from gail_carla_tpu.scene import mask_geo
+    from gail_carla_tpu.scene.h5_maps import PPM, hard_plan_mask
+
+    edges = getattr(geometry, "hard_ab", None)
+    if edges is None or not len(edges):
+        edges = geometry.bnd_ab
+    road = geometry.bnd_ab
+    xy = np.asarray(dense.xy, np.float64)
+    cmd = np.asarray(dense.cmd)
+    sd = mask_geo.boundary_signed_distance(edges, xy)
+    if not (sd < clearance).any():
+        return dense
+
+    # -- stage 1: splice deep excursions on the eroded hard/road mask
+    pm = hard_plan_mask(town, clearance_m=clearance + 0.05) if town else None
+    if pm is not None and float(sd.min()) < 0.1:
+        n = len(xy)
+        # anchors must sit clear of the hard boundary on both sides
+        regions = []
+        for ia, ib in _hard_regions(sd, clearance, n, pad):
+            if float(sd[ia:ib + 1].min()) >= 0.1:
+                continue                      # shallow — leave to stage 3
+            while ia > 0 and sd[ia] < clearance + 0.15:
+                ia -= 1
+            while ib < n - 1 and sd[ib] < clearance + 0.15:
+                ib += 1
+            if regions and ia <= regions[-1][1]:
+                regions[-1][1] = max(regions[-1][1], ib)
+            else:
+                regions.append([ia, ib])
+        pieces_xy, pieces_cmd = [], []
+        pos = 0
+        for ia, ib in regions:
+            path = mask_geo.plan_on_mask(pm[0], pm[1], PPM, xy[ia], xy[ib])
+            if path is None:
+                continue
+            pieces_xy.append(xy[pos:ia + 1])
+            pieces_cmd.append(cmd[pos:ia + 1])
+            pieces_xy.append(path[1:-1])
+            pieces_cmd.append(
+                np.full(max(len(path) - 2, 0), int(cmd[(ia + ib) // 2]),
+                        cmd.dtype)
+            )
+            pos = ib
+        if pieces_xy:
+            pieces_xy.append(xy[pos:])
+            pieces_cmd.append(cmd[pos:])
+            xy = np.concatenate(pieces_xy, axis=0)
+            cmd = np.concatenate(pieces_cmd)
+
+    # -- stage 2: Dubins-smooth splice seams, scored on the hard boundary
+    dr = smooth_dense_route(
+        _dense_from_xy(xy, cmd), geometry,
+        score_ab=edges, score_floor=0.45, respice_below=-1.5,
     )
+    xy = np.asarray(dr.xy, np.float64)
+    cmd = np.asarray(dr.cmd)
+
+    def _crop(e, p, margin=25.0):
+        lo = p.min(axis=0) - margin
+        hi = p.max(axis=0) + margin
+        sel = ((np.maximum(e[:, 0], e[:, 2]) >= lo[0])
+               & (np.minimum(e[:, 0], e[:, 2]) <= hi[0])
+               & (np.maximum(e[:, 1], e[:, 3]) >= lo[1])
+               & (np.minimum(e[:, 1], e[:, 3]) <= hi[1]))
+        return e[sel] if sel.any() else e
+
+    def violation(p: np.ndarray) -> float:
+        """How badly a span breaks the three route invariants the Town03
+        gates assert (hard clearance >= 0.39, kink < 45 deg, off-road
+        < 3 m), each with margin. Lower is better; 0 = clean."""
+        sdh = mask_geo.boundary_signed_distance(_crop(edges, p), p)
+        sdr = mask_geo.boundary_signed_distance(_crop(road, p), p)
+        seg = np.diff(p, axis=0)
+        ln = np.linalg.norm(seg, axis=1)
+        g = ln > 1e-6
+        v = 0.0
+        if g.sum() >= 2:
+            hdg = np.arctan2(seg[g][:, 1], seg[g][:, 0])
+            turn = np.degrees(np.abs(
+                (np.diff(hdg) + np.pi) % (2 * np.pi) - np.pi))
+            v += 0.25 * max(0.0, float(turn.max()) - 40.0)
+        v += 10.0 * max(0.0, 0.45 - float(sdh.min()))
+        v += 2.0 * max(0.0, -2.5 - float(sdr.min()))
+        return v
+
+    # -- stage 3: coherent elastic band for residual shallow grazes
+    sd = mask_geo.boundary_signed_distance(edges, xy)
+    out = xy.copy()
+    for ia, ib in _hard_regions(sd, clearance, len(xy), pad):
+        orig = out[ia:ib + 1]
+        ref = mask_geo.refine_polyline_inside(
+            edges, orig, clearance=clearance,
+            contain_edges=road, contain_slack=2.0,
+        )
+        if violation(ref) <= violation(orig):
+            out[ia:ib + 1] = ref
+    return _dense_from_xy(out, cmd)
 
 
 # ---------------------------------------------------------------------------
@@ -1522,10 +1643,10 @@ def make_town_scene(
                             )
                 # penultimate pass: splice out seam kinks, graph
                 # turnaround reversals and residual off-road spans with
-                # mask-scored Dubins paths; then elastic-band every span
-                # still grazing the hard (curb-to-wall) surface
+                # mask-scored Dubins paths; then the three-stage hard-
+                # surface repair (deep splice / seam Dubins / light band)
                 return refine_dense_route(
-                    smooth_dense_route(dr, geometry), geometry
+                    smooth_dense_route(dr, geometry), geometry, town=town
                 )
 
             fixed = []

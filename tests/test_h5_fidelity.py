@@ -182,6 +182,51 @@ def test_town01_bev_matches_reference_pixels():
     assert np.mean(lane_ious) >= 0.90, lane_ious
 
 
+def test_boundary_sign_robust_in_vertex_cones():
+    """Regression (round-3 phantom violations): every point whose nearest
+    boundary FEATURE is a shared vertex of two edges sits in a 2D cone
+    where both edges are exactly equidistant — a plain argmin tie-breaks
+    on fp noise and can flip the inside sign metres into plain road (a
+    Town03 route point 7.65 m INSIDE the hard union measured -7.65). A
+    diamond hole makes every interior diagonal a tie cone; host tests
+    (points_inside / boundary_signed_distance) and the XLA op
+    (ops/bev.py::boundary_inside) must all match the raw mask."""
+    import jax.numpy as jnp
+
+    from gail_carla_tpu.ops.bev import boundary_inside
+
+    w = 160
+    m = np.zeros((w, w), bool)
+    m[10:150, 10:150] = True
+    yy, xx = np.mgrid[:w, :w]
+    m &= ~(np.abs(yy - 80) + np.abs(xx - 80) <= 25)   # diamond hole
+    ppm = 2.0
+    edges, dmax = mask_geo.mask_boundary_edges(m, np.zeros(2), ppm,
+                                               max_err_px=0.2)
+    # sample along the hole's diagonals (the tie cones) plus a fringe
+    pts, truth = [], []
+    rng = np.random.default_rng(0)
+    for _ in range(400):
+        px = rng.integers(12, 148, 2)
+        # keep samples >1 px from the boundary so mask truth is exact
+        d_h = np.abs(px[0] - 80) + np.abs(px[1] - 80)
+        if 23 <= d_h <= 27:
+            continue
+        pts.append([(px[1] + 0.0) / ppm, (px[0] + 0.0) / ppm])
+        truth.append(bool(m[px[0], px[1]]))
+    pts = np.asarray(pts, np.float64)
+    truth = np.asarray(truth)
+    got = mask_geo.points_inside(edges, dmax, pts)
+    assert (got == truth).all(), np.flatnonzero(got != truth)[:10]
+    sd = mask_geo.boundary_signed_distance(edges, pts)
+    assert ((sd > 0) == truth).all()
+    dev = np.asarray(boundary_inside(
+        jnp.asarray(pts, jnp.float32), jnp.asarray(edges, jnp.float32),
+        dmax,
+    ))
+    assert (dev == truth).all(), np.flatnonzero(dev != truth)[:10]
+
+
 def test_refine_polyline_inside_smooths_and_clears():
     """Elastic-band refinement (town-route final stage): a staircase path
     grazing a corridor wall comes back point-count-preserved, end-pinned,
@@ -213,6 +258,46 @@ def test_refine_polyline_inside_smooths_and_clears():
         )
 
     assert max_turn(out) < 0.5 * max_turn(xy)
+
+
+def test_refine_polyline_no_median_zigzag():
+    """Regression (round-3 Town03 breakage): a path running mid-corridor
+    past a thin median wall must NOT be teleported onto alternating lobes
+    of the clearance line. The old hard-projection band put 89-178 deg
+    zigzags, collapsed duplicates and multi-metre jumps into 16/20 Town03
+    routes; the displacement-field band moves points coherently with a
+    trust region, so the output stays on one side, kink-bounded, and at
+    clearance."""
+    m = np.zeros((60, 200), bool)
+    m[10:50, 4:196] = True            # 20 m tall corridor at ppm=2
+    m[28:32, 40:160] = False          # carve a median wall
+    edges, _ = mask_geo.mask_boundary_edges(
+        m, np.zeros(2), 2.0, max_err_px=0.2
+    )
+    # path drifts from below the median to just grazing it
+    xs = np.arange(4.0, 96.0, 1.0)
+    ys = np.full(len(xs), 12.0)
+    ys[30:60] = 14.6                  # grazes the median (wall at y=14)
+    xy = np.stack([xs, ys], axis=1)
+    xy[:3, 1] = 12.0
+    xy[-3:, 1] = 12.0
+    out = mask_geo.refine_polyline_inside(edges, xy, clearance=0.75)
+    assert out.shape == xy.shape
+    # stays below the median throughout (no lobe teleport to y>16)
+    assert float(out[:, 1].max()) < 14.5, float(out[:, 1].max())
+    # no duplicate pile-ups, no multi-metre jumps
+    step = np.linalg.norm(np.diff(out, axis=0), axis=1)
+    assert float(step.min()) > 0.2 and float(step.max()) < 2.5, (
+        float(step.min()), float(step.max()))
+    # kink-bounded within the hero's steering envelope
+    seg = np.diff(out, axis=0)
+    hdg = np.arctan2(seg[:, 1], seg[:, 0])
+    turn = np.abs((np.diff(hdg) + np.pi) % (2 * np.pi) - np.pi)
+    assert float(np.degrees(turn.max())) < 30.0, float(
+        np.degrees(turn.max()))
+    # and the clearance goal is met
+    sd = mask_geo.boundary_signed_distance(edges, out[3:-3])
+    assert float(sd.min()) >= 0.6, float(sd.min())
 
 
 @needs_h5
