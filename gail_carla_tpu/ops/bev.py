@@ -97,18 +97,26 @@ def boundary_dist_cross(px, bnd_segs):
     interior side; the normalization makes |crn| comparable across edges
     (it equals |p-closest|·sin of the edge/offset angle), which the robust
     vertex-tie resolution in ``boundary_inside`` relies on."""
-    a = bnd_segs[None, :, :2]
-    b = bnd_segs[None, :, 2:]
-    ab = b - a
-    inv_denom = 1.0 / (jnp.sum(ab * ab, -1) + 1e-9)
-    aab = jnp.sum(a * ab, -1)
-    t = jnp.clip(
-        (jnp.sum(px[:, None, :] * ab, -1) - aab) * inv_denom, 0.0, 1.0
-    )
-    d = (px[:, None, :] - a) - t[..., None] * ab
-    d2 = jnp.sum(d * d, -1)
-    cr = ab[..., 0] * d[..., 1] - ab[..., 1] * d[..., 0]
-    crn = cr * jnp.sqrt(inv_denom)
+    ax = bnd_segs[None, :, 0]
+    ay = bnd_segs[None, :, 1]
+    abx = bnd_segs[None, :, 2] - ax
+    aby = bnd_segs[None, :, 3] - ay
+    inv_denom = 1.0 / (abx * abx + aby * aby + 1e-9)
+    inv_len = jnp.sqrt(inv_denom)
+    # per-edge scalar coefficients folded once (the kernels hoist these to
+    # the SPU): t = pxx*tx + pxy*ty - tc, crn = nx*dy - ny*dx
+    tx = abx * inv_denom
+    ty = aby * inv_denom
+    tc = (ax * abx + ay * aby) * inv_denom
+    nx = abx * inv_len
+    ny = aby * inv_len
+    pxx = px[:, None, 0]
+    pxy = px[:, None, 1]
+    t = jnp.clip(pxx * tx + pxy * ty - tc, 0.0, 1.0)
+    dx = (pxx - ax) - t * abx
+    dy = (pxy - ay) - t * aby
+    d2 = dx * dx + dy * dy
+    crn = nx * dy - ny * dx
     return d2, crn
 
 
@@ -125,20 +133,25 @@ def boundary_inside(px, bnd_segs, dmax):
     Tie resolution: at a shared VERTEX of two edges both are exactly
     equidistant, and every point whose nearest feature is that vertex — a
     2D cone reaching up to dmax into the interior — would get a floating-
-    point-noise inside sign from a first-occurrence argmin (the round-3
-    phantom static collisions on plain road). Among edges within a
-    relative tie window of the minimum, the one with the largest
-    NORMALIZED |cross| (most perpendicular to the offset = unambiguous
-    sign) wins — the two-candidate collapse of the angle-weighted
-    pseudo-normal rule, identical to the kernels' running-best carry and
-    host ``mask_geo._nearest_edge_robust``."""
+    point-noise inside sign from a plain argmin (the round-3 phantom
+    static collisions on plain road). The robust pick (angle-weighted
+    pseudo-normal rule collapsed to candidates) is folded into ONE select
+    per edge: minimize ``key = d2 - 1e-3*|crn|``. For genuinely distinct
+    edges the d2 term dominates (misordering needs a true-d2 gap under
+    ~0.016 m^2 — physically a tie anyway); at an exact vertex tie the
+    |normalized cross| term (= |offset|*sin of the edge/offset angle, the
+    unambiguous-sign edge) decides. Bit-identical to the kernels'
+    running-best carry (bev_pallas.py::bnd_body) and semantically equal
+    to host ``mask_geo._nearest_edge_robust``. The dmax guard uses keymin
+    (underestimates d2 by <= 1e-3*dmax — absorbed by dmax's own +0.75 px
+    slack, mask_geo.mask_boundary_edges)."""
     d2, crn = boundary_dist_cross(px, bnd_segs)
-    d2min = jnp.min(d2, axis=1)
-    near = d2 <= d2min[:, None] * (1.0 + 1e-3) + 1e-6
-    score = jnp.where(near, jnp.abs(crn), -jnp.inf)
-    best = jnp.argmax(score, axis=1)
-    cr_sel = jnp.take_along_axis(crn, best[:, None], axis=1)[:, 0]
-    return (cr_sel > 0.0) & (d2min <= dmax * dmax)
+    key = d2 - 1e-3 * jnp.abs(crn)
+    keymin = jnp.min(key, axis=1)
+    m = key == keymin[:, None]
+    first = m & (jnp.cumsum(m.astype(jnp.int32), axis=1) == 1)
+    cr_sel = jnp.sum(jnp.where(first, crn, 0.0), axis=1)
+    return (cr_sel > 0.0) & (keymin <= dmax * dmax)
 
 
 def _cell_of(scene: StaticScene, xy):

@@ -84,47 +84,69 @@ def _kernel(
         dy = (pxy - ay) - t * aby
         return dx * dx + dy * dy
 
+    # Short segment loops are overhead-bound, not VPU-bound — unroll 8x.
+    # Dynamic counts round UP (cell tables padded to a multiple of 8 with
+    # FAR sentinels, segments.py pad_mult=8 — extra reads are in-bounds
+    # and bit-exact); static counts take an exact-remainder path.
+    UNROLL = 8
+
     def min_d2_over(seg_ref, n):
         # n = live count (dynamic); padded FAR tails never win the min
         def body(i, acc):
             return jnp.minimum(acc, seg_d2(seg_ref, i))
 
-        return jax.lax.fori_loop(
-            0, n, body, jnp.full((p, 128), big, jnp.float32)
-        )
+        init = jnp.full((p, 128), big, jnp.float32)
+
+        def body_u(i, acc):
+            for j in range(UNROLL):
+                acc = body(i * UNROLL + j, acc)
+            return acc
+
+        if isinstance(n, int):
+            main = n - (n % UNROLL)
+            acc = jax.lax.fori_loop(0, main // UNROLL, body_u, init)
+            for i in range(main, n):
+                acc = body(i, acc)
+            return acc
+        return jax.lax.fori_loop(0, (n + UNROLL - 1) // UNROLL, body_u,
+                                 init)
 
     def seg_d2_cross(seg_ref, i):
         # boundary edge distance + LENGTH-NORMALIZED oriented cross
         # (ops/bev.py::boundary_dist_cross op order for bit-identity);
-        # normalization is per-segment scalar work on the SPU
+        # per-edge coefficients are scalar work on the SPU
         ax = seg_ref[0, i, 0]
         ay = seg_ref[0, i, 1]
         abx = seg_ref[0, i, 2] - ax
         aby = seg_ref[0, i, 3] - ay
         inv_denom = 1.0 / (abx * abx + aby * aby + 1e-9)
         inv_len = jnp.sqrt(inv_denom)
-        aab = ax * abx + ay * aby
-        t = jnp.clip(
-            (pxx * abx + pxy * aby - aab) * inv_denom, 0.0, 1.0
-        )
+        tx = abx * inv_denom
+        ty = aby * inv_denom
+        tc = (ax * abx + ay * aby) * inv_denom
+        nx = abx * inv_len
+        ny = aby * inv_len
+        t = jnp.clip(pxx * tx + pxy * ty - tc, 0.0, 1.0)
         dx = (pxx - ax) - t * abx
         dy = (pxy - ay) - t * aby
-        return dx * dx + dy * dy, (abx * dy - aby * dx) * inv_len
+        return dx * dx + dy * dy, nx * dy - ny * dx
 
-    # vertex ties resolved by larger |normalized cross| — running-best
-    # carry of ops/bev.py::boundary_inside's robust rule (see
-    # bev_pallas.py::bnd_body)
+    # vertex ties folded into one select via key = d2 - 1e-3*|crn|
+    # (ops/bev.py::boundary_inside robust rule; see bev_pallas.py)
     def bnd_body(i, carry):
-        d2min, crb = carry
+        keymin, crb = carry
         d2, crn = seg_d2_cross(bnd_ref, i)
-        near = d2 <= d2min * (1.0 + 1e-3) + 1e-6
-        take = (d2 < d2min * (1.0 - 1e-3)) | (
-            near & (jnp.abs(crn) > jnp.abs(crb))
-        )
-        return (jnp.minimum(d2, d2min), jnp.where(take, crn, crb))
+        key = d2 - 1e-3 * jnp.abs(crn)
+        take = key < keymin
+        return (jnp.where(take, key, keymin), jnp.where(take, crn, crb))
+
+    def bnd_body_u(i, carry):
+        for j in range(UNROLL):
+            carry = bnd_body(i * UNROLL + j, carry)
+        return carry
 
     bnd_d2, bnd_cr = jax.lax.fori_loop(
-        0, counts_ref[0, 0, 0], bnd_body,
+        0, (counts_ref[0, 0, 0] + UNROLL - 1) // UNROLL, bnd_body_u,
         (jnp.full((p, 128), big, jnp.float32),
          jnp.zeros((p, 128), jnp.float32)),
     )
@@ -135,8 +157,13 @@ def _kernel(
         hit = seg_d2(lane_ref, i) <= lw * lw
         return jnp.maximum(acc, jnp.where(hit, laneval_ref[0, 0, i], 0.0))
 
+    def lane_body_u(i, acc):
+        for j in range(UNROLL):
+            acc = lane_body(i * UNROLL + j, acc)
+        return acc
+
     lane_v = jax.lax.fori_loop(
-        0, counts_ref[0, 0, 1], lane_body,
+        0, (counts_ref[0, 0, 1] + UNROLL - 1) // UNROLL, lane_body_u,
         jnp.zeros((p, 128), jnp.float32),
     )
 
@@ -145,8 +172,13 @@ def _kernel(
         hit = seg_d2(tl_ref, i) <= tl_half * tl_half
         return jnp.maximum(acc, jnp.where(hit, tlval_ref[0, 0, i], 0.0))
 
+    def tl_body_u(i, acc):
+        for j in range(4):   # tl tables pad to a multiple of 4
+            acc = tl_body(i * 4 + j, acc)
+        return acc
+
     sig = jax.lax.fori_loop(
-        0, counts_ref[0, 0, 2], tl_body,
+        0, (counts_ref[0, 0, 2] + 3) // 4, tl_body_u,
         jnp.zeros((p, 128), jnp.float32),
     )
 
@@ -172,11 +204,22 @@ def _kernel(
         wk = jnp.maximum(wk, jnp.where(ch == 2.0, inside, 0.0))
         return sig, veh, wk
 
-    sig, veh, wk = jax.lax.fori_loop(
-        0, box_ref.shape[1], box_body,
+    nbox = box_ref.shape[1]
+    main = nbox - (nbox % UNROLL)
+
+    def box_body_u(i, accs):
+        for j in range(UNROLL):
+            accs = box_body(i * UNROLL + j, accs)
+        return accs
+
+    accs = jax.lax.fori_loop(
+        0, main // UNROLL, box_body_u,
         (sig, jnp.zeros((p, 128), jnp.float32),
          jnp.zeros((p, 128), jnp.float32)),
     )
+    for i in range(main, nbox):
+        accs = box_body(i, accs)
+    sig, veh, wk = accs
 
     out_ref[0, 0] = (
         (bnd_cr > 0.0) & (bnd_d2 <= dmax * dmax)

@@ -82,55 +82,83 @@ def _kernel(
         dy = (pxy - ay) - t * aby
         return dx * dx + dy * dy
 
+    # Short segment loops are bound by per-iteration scalar-load/branch
+    # overhead, not VPU math (measured ~40% of render marginal at 256
+    # envs) — unroll them. Dynamic (live-count) loops round the trip
+    # count UP to the unroll factor: cell tables are padded to a multiple
+    # of 8 (segments.py pad_mult=8) with FAR sentinels whose d2 ~ 1e14
+    # never wins a min, so the extra reads are in-bounds and bit-exact.
+    UNROLL = 8
+
     def min_d2_over(seg_ref, n):
         """n is the cell's LIVE count (dynamic trip count) — the padded
         tail is FAR sentinels whose d2 ~ 1e14 never wins the min, so
-        skipping it is bit-exact."""
+        skipping it is bit-exact. Static n (route window, not a padded
+        cell table) takes the exact-remainder path: no sentinel rows
+        exist past the block, so reads must stay in-bounds."""
 
         def body(i, acc):
             return jnp.minimum(acc, seg_d2(seg_ref, i))
 
-        return jax.lax.fori_loop(
-            0, n, body, jnp.full((p, 128), big, jnp.float32)
-        )
+        init = jnp.full((p, 128), big, jnp.float32)
+
+        def body_u(i, acc):
+            for j in range(UNROLL):
+                acc = body(i * UNROLL + j, acc)
+            return acc
+
+        if isinstance(n, int):
+            main = n - (n % UNROLL)
+            acc = jax.lax.fori_loop(0, main // UNROLL, body_u, init)
+            for i in range(main, n):
+                acc = body(i, acc)
+            return acc
+        return jax.lax.fori_loop(0, (n + UNROLL - 1) // UNROLL, body_u,
+                                 init)
 
     def seg_d2_cross(seg_ref, i):
         """Like seg_d2 but also the LENGTH-NORMALIZED cross of the edge
         with p-closest — the oriented-boundary inside sign
         (ops/bev.py::boundary_dist_cross op order, for bit-identity with
-        the XLA reference). All normalization work is per-segment scalar
-        (SPU); the vector pipeline still runs multiply-adds only."""
+        the XLA reference). All per-edge coefficients (tx/ty/tc/nx/ny)
+        are scalars on the SPU; the vector pipeline runs multiply-adds
+        only."""
         ax = seg_ref[0, i, 0]
         ay = seg_ref[0, i, 1]
         abx = seg_ref[0, i, 2] - ax
         aby = seg_ref[0, i, 3] - ay
         inv_denom = 1.0 / (abx * abx + aby * aby + 1e-9)
         inv_len = jnp.sqrt(inv_denom)
-        aab = ax * abx + ay * aby
-        t = jnp.clip(
-            (pxx * abx + pxy * aby - aab) * inv_denom, 0.0, 1.0
-        )
+        tx = abx * inv_denom
+        ty = aby * inv_denom
+        tc = (ax * abx + ay * aby) * inv_denom
+        nx = abx * inv_len
+        ny = aby * inv_len
+        t = jnp.clip(pxx * tx + pxy * ty - tc, 0.0, 1.0)
         dx = (pxx - ax) - t * abx
         dy = (pxy - ay) - t * aby
-        return dx * dx + dy * dy, (abx * dy - aby * dx) * inv_len
+        return dx * dx + dy * dy, nx * dy - ny * dx
 
     # road channel: nearest oriented boundary edge decides inside/outside.
-    # Vertex ties (two edges exactly equidistant at a shared corner) are
-    # resolved by the larger |normalized cross| — the running-best carry
-    # form of ops/bev.py::boundary_inside's robust rule; a strict-< argmin
-    # gave fp-noise signs across the whole corner cone (phantom road holes
-    # / static collisions)
+    # Vertex ties (two edges exactly equidistant at a shared corner) get a
+    # fp-noise sign from a strict-< argmin (phantom road holes / static
+    # collisions); minimizing key = d2 - 1e-3*|crn| folds the robust
+    # larger-|normalized-cross| tie-break into one select per edge
+    # (ops/bev.py::boundary_inside, op-order identical)
     def bnd_body(i, carry):
-        d2min, crb = carry
+        keymin, crb = carry
         d2, crn = seg_d2_cross(bnd_ref, i)
-        near = d2 <= d2min * (1.0 + 1e-3) + 1e-6
-        take = (d2 < d2min * (1.0 - 1e-3)) | (
-            near & (jnp.abs(crn) > jnp.abs(crb))
-        )
-        return (jnp.minimum(d2, d2min), jnp.where(take, crn, crb))
+        key = d2 - 1e-3 * jnp.abs(crn)
+        take = key < keymin
+        return (jnp.where(take, key, keymin), jnp.where(take, crn, crb))
+
+    def bnd_body_u(i, carry):
+        for j in range(UNROLL):
+            carry = bnd_body(i * UNROLL + j, carry)
+        return carry
 
     bnd_d2, bnd_cr = jax.lax.fori_loop(
-        0, counts_ref[0, 0, 0], bnd_body,
+        0, (counts_ref[0, 0, 0] + UNROLL - 1) // UNROLL, bnd_body_u,
         (jnp.full((p, 128), big, jnp.float32),
          jnp.zeros((p, 128), jnp.float32)),
     )
@@ -145,8 +173,13 @@ def _kernel(
             acc, jnp.where(hit, laneval_ref[0, 0, i], 0.0)
         )
 
+    def lane_body_u(i, acc):
+        for j in range(UNROLL):
+            acc = lane_body(i * UNROLL + j, acc)
+        return acc
+
     lane_v = jax.lax.fori_loop(
-        0, counts_ref[0, 0, 1], lane_body,
+        0, (counts_ref[0, 0, 1] + UNROLL - 1) // UNROLL, lane_body_u,
         jnp.zeros((p, 128), jnp.float32),
     )
 

@@ -45,7 +45,30 @@ CACHE_DIR = os.path.join(
     "h5maps",
 )
 PPM = 5.0
-_VERSION = 4  # bump to invalidate caches
+_VERSION = 5  # bump to invalidate caches
+
+
+def _close_hard_union(road: np.ndarray, sidewalk: np.ndarray, hf):
+    """The hard (curb-to-wall) collision surface: the
+    road|shoulder|parking|sidewalk union with sub-vehicle-width gaps
+    CLOSED (morphological closing, ~1.6 m reach). Thin painted medians and
+    channelization seams between opposing carriageways render as 2-3 px
+    voids in the H5 layers; no collidable mesh fits a strip narrower than
+    a car, and CARLA's collision sensor fires on physical meshes only
+    (criteria/collision.py:49-112) — so those voids are drivable surface,
+    not obstacles. Without the closing, benchmark routes that legally
+    cross such a seam (Town03 divided roads) measured ~1 m "inside the
+    wall"."""
+    from scipy import ndimage
+
+    hard = road | sidewalk
+    for layer in ("shoulder", "parking"):
+        if layer in hf:
+            hard |= np.asarray(hf[layer]) > 0
+    return ndimage.binary_closing(
+        hard, structure=ndimage.generate_binary_structure(2, 1),
+        iterations=4,
+    )
 
 
 @dataclasses.dataclass
@@ -96,10 +119,7 @@ def _extract(town: str, max_err_px: float) -> TownGeometry:
         lane_all = np.asarray(hf["lane_marking_all"]) > 0
         white_broken = np.asarray(hf["lane_marking_white_broken"]) > 0
         sidewalk = np.asarray(hf["sidewalk"]) > 0
-        hard = road | sidewalk
-        for layer in ("shoulder", "parking"):
-            if layer in hf:
-                hard |= np.asarray(hf[layer]) > 0
+        hard = _close_hard_union(road, sidewalk, hf)
 
     bnd_ab, bnd_dmax = mask_geo.mask_boundary_edges(
         road, off, PPM, max_err_px=max_err_px
@@ -196,17 +216,19 @@ def hard_plan_mask(town: str, clearance_m: float = 0.8,
                     hf.attrs["world_offset_in_meters"], np.float64
                 )
                 road = np.asarray(hf["road"]) > 0
-                hard = road | (np.asarray(hf["sidewalk"]) > 0)
-                for layer in ("shoulder", "parking"):
-                    if layer in hf:
-                        hard |= np.asarray(hf[layer]) > 0
+                hard = _close_hard_union(
+                    road, np.asarray(hf["sidewalk"]) > 0, hf
+                )
             er = ndimage.binary_erosion(
                 hard, iterations=int(math.ceil(clearance_m * PPM))
             )
-            rd = ndimage.binary_dilation(
-                road, iterations=int(round(road_slack_m * PPM))
-            )
-            m = er & rd
+            if road_slack_m * PPM < hard.shape[0]:
+                rd = ndimage.binary_dilation(
+                    road, iterations=int(round(road_slack_m * PPM))
+                )
+                m = er & rd
+            else:               # unbounded slack: the bare eroded union
+                m = er
             if not m.any():
                 m = er
             _PLAN_MASK_CACHE[key] = (m, off)
@@ -217,10 +239,16 @@ _MEM_CACHE = {}
 
 
 def load_town_geometry(
-    town: str, max_err_px: float = 0.35, cache: bool = True
+    town: str, max_err_px: float = 0.49, cache: bool = True
 ) -> Optional[TownGeometry]:
     """TownGeometry for ``town`` ('Town01'..'Town06'), or None if the H5
-    pack is absent. Disk-cached npz + in-process cache."""
+    pack is absent. Disk-cached npz + in-process cache.
+
+    ``max_err_px`` 0.49 is the largest contour-simplification error that
+    keeps the boundary inside-test pixel-center faithful (4 differing px
+    per 300k measured on Town01; 0.35 is bit-exact) while cutting ~35% of
+    the boundary edges — the dominant per-pixel loop of the BEV kernels
+    (docs/results/r4 kernel notes)."""
     key = (town, max_err_px)
     if key in _MEM_CACHE:
         return _MEM_CACHE[key]

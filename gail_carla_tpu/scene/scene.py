@@ -317,8 +317,13 @@ def build_scene(
         from gail_carla_tpu.scene.raster import rasterize_town
 
         tex = rasterize_town(graph)
+        # 0.49 px: the largest simplification error that keeps the inside
+        # test pixel-center faithful (<=1.3e-5 differing px measured on
+        # Town01 at 0.49 vs 0 at 0.35) — ~35% fewer boundary edges, the
+        # dominant per-pixel loop of the BEV kernels
         bnd_ab, bnd_dmax = mask_geo.mask_boundary_edges(
-            tex.road > 0, tex.world_offset.astype(np.float64), tex.ppm
+            tex.road > 0, tex.world_offset.astype(np.float64), tex.ppm,
+            max_err_px=0.49,
         )
     gy_, gx_ = table.road.shape[:2]
     cell_bnd, cell_bnd_n = seg_mod.build_bnd_cells(
