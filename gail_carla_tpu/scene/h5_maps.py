@@ -50,15 +50,18 @@ _VERSION = 5  # bump to invalidate caches
 
 def _close_hard_union(road: np.ndarray, sidewalk: np.ndarray, hf):
     """The hard (curb-to-wall) collision surface: the
-    road|shoulder|parking|sidewalk union with sub-vehicle-width gaps
-    CLOSED (morphological closing, ~1.6 m reach). Thin painted medians and
-    channelization seams between opposing carriageways render as 2-3 px
-    voids in the H5 layers; no collidable mesh fits a strip narrower than
-    a car, and CARLA's collision sensor fires on physical meshes only
-    (criteria/collision.py:49-112) — so those voids are drivable surface,
-    not obstacles. Without the closing, benchmark routes that legally
-    cross such a seam (Town03 divided roads) measured ~1 m "inside the
-    wall"."""
+    road|shoulder|parking|sidewalk union with narrow gaps CLOSED
+    (morphological closing, 8 px ~ 1.6 m radius: bridges voids up to
+    ~3.2 m across). Painted medians, channelization seams and grass
+    median strips between opposing carriageways render as voids in the
+    H5 layers, but CARLA's collision sensor fires on physical MESHES
+    only (criteria/collision.py:49-112) and such strips carry none — a
+    vehicle legally crosses them (costing OutsideRouteLane, not a
+    collision). Anything wide enough to survive the closing (city
+    blocks, building footprints, large park interiors) stays a
+    collision surface. Without the closing, benchmark routes that
+    legally cross a divided-road median (Town03) measured ~1-2 m
+    "inside the wall" and fired phantom layout collisions."""
     from scipy import ndimage
 
     hard = road | sidewalk
@@ -67,7 +70,7 @@ def _close_hard_union(road: np.ndarray, sidewalk: np.ndarray, hf):
             hard |= np.asarray(hf[layer]) > 0
     return ndimage.binary_closing(
         hard, structure=ndimage.generate_binary_structure(2, 1),
-        iterations=4,
+        iterations=8,
     )
 
 
@@ -216,6 +219,9 @@ def hard_plan_mask(town: str, clearance_m: float = 0.8,
                     hf.attrs["world_offset_in_meters"], np.float64
                 )
                 road = np.asarray(hf["road"]) > 0
+                # the SAME closed union the collision surface scores
+                # against — an unclosed planning mask would treat legal
+                # narrow-median crossings as impassable and detour
                 hard = _close_hard_union(
                     road, np.asarray(hf["sidewalk"]) > 0, hf
                 )

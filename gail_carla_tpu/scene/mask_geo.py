@@ -616,20 +616,47 @@ def plan_on_mask(
     w[:, 1] = (y0 + (rc[:, 0] + 0.5) * coarse) / ppm + off[1]
     w[0], w[-1] = a, b
 
-    # smooth the staircase (keep endpoints), then resample at step_m
+    def snap(pts, r=6):
+        """Pull every point to the nearest on-mask pixel within r px.
+        Majority-pooled cell centres can sit ~0.7 m off the fine mask and
+        blind Laplacian smoothing cut corners up to ~1.5 m off it — the
+        planner's whole contract is that its output LIES ON the planning
+        mask (callers erode the mask by their clearance), and unsnapped
+        output measured up to 1.3 m outside."""
+        out = pts.copy()
+        for idx in range(1, len(pts) - 1):
+            px = int((pts[idx, 0] - off[0]) * ppm)
+            py = int((pts[idx, 1] - off[1]) * ppm)
+            if (0 <= py < mask.shape[0] and 0 <= px < mask.shape[1]
+                    and mask[py, px]):
+                continue
+            yy0, yy1 = max(0, py - r), min(mask.shape[0], py + r + 1)
+            xx0, xx1 = max(0, px - r), min(mask.shape[1], px + r + 1)
+            ys, xs = np.nonzero(mask[yy0:yy1, xx0:xx1])
+            if len(ys) == 0:
+                continue
+            k = np.argmin((ys + yy0 - py) ** 2 + (xs + xx0 - px) ** 2)
+            out[idx, 0] = (xs[k] + xx0 + 0.5) / ppm + off[0]
+            out[idx, 1] = (ys[k] + yy0 + 0.5) / ppm + off[1]
+        return out
+
+    # smooth the staircase (keep endpoints) with a mask re-snap after
+    # every pass, then resample at step_m and snap once more
+    w = snap(w)
     for _ in range(3):
         if len(w) > 4:
             w[1:-1] = 0.25 * w[:-2] + 0.5 * w[1:-1] + 0.25 * w[2:]
+            w = snap(w)
     d = np.linalg.norm(np.diff(w, axis=0), axis=1)
     s = np.concatenate([[0.0], np.cumsum(d)])
     if s[-1] < 1e-6:
         return None
     n = max(int(round(s[-1] / step_m)), 2)
     s_new = np.linspace(0.0, s[-1], n + 1)
-    return np.stack(
+    return snap(np.stack(
         [np.interp(s_new, s, w[:, 0]), np.interp(s_new, s, w[:, 1])],
         axis=1,
-    )
+    ))
 
 
 def _resample_span(out: np.ndarray, freeze: int) -> np.ndarray:

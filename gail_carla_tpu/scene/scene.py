@@ -159,6 +159,10 @@ def _pad_polyline_set(patrols, pad: int = 128):
     patrol_n = np.zeros((P,), np.int32)
     for i, (xy, yaw, cmd) in enumerate(patrols):
         n = len(xy)
+        if len(yaw) < n:
+            # a degenerate single-point patrol (walk started at a dead
+            # end's last waypoint) has no segment to take a yaw from
+            yaw = np.concatenate([yaw, np.zeros(n - len(yaw))])
         patrol_xy[i, :n] = xy
         patrol_xy[i, n:] = xy[-1]
         patrol_yaw[i, :n] = yaw

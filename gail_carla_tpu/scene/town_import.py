@@ -1374,7 +1374,10 @@ def refine_dense_route(
 
     Every repaired span is ACCEPTED only when a violation score — hard
     clearance below the layout-collision threshold, kinks, off-road
-    depth — does not get worse; otherwise the input span is kept."""
+    depth — does not get worse; otherwise the input span is kept. The
+    three sub-stages repeat (up to 3 outer passes) until the route is
+    violation-free or stops improving: the Dubins seam pass can re-graze
+    a boundary the next band pass then polishes, and vice versa."""
     from gail_carla_tpu.scene import mask_geo
     from gail_carla_tpu.scene.h5_maps import PPM, hard_plan_mask
 
@@ -1388,50 +1391,30 @@ def refine_dense_route(
     if not (sd < clearance).any():
         return dense
 
-    # -- stage 1: splice deep excursions on the eroded hard/road mask
-    pm = hard_plan_mask(town, clearance_m=clearance + 0.05) if town else None
-    if pm is not None and float(sd.min()) < 0.1:
-        n = len(xy)
-        # anchors must sit clear of the hard boundary on both sides
-        regions = []
-        for ia, ib in _hard_regions(sd, clearance, n, pad):
-            if float(sd[ia:ib + 1].min()) >= 0.1:
-                continue                      # shallow — leave to stage 3
-            while ia > 0 and sd[ia] < clearance + 0.15:
-                ia -= 1
-            while ib < n - 1 and sd[ib] < clearance + 0.15:
-                ib += 1
-            if regions and ia <= regions[-1][1]:
-                regions[-1][1] = max(regions[-1][1], ib)
-            else:
-                regions.append([ia, ib])
-        pieces_xy, pieces_cmd = [], []
-        pos = 0
-        for ia, ib in regions:
-            path = mask_geo.plan_on_mask(pm[0], pm[1], PPM, xy[ia], xy[ib])
-            if path is None:
-                continue
-            pieces_xy.append(xy[pos:ia + 1])
-            pieces_cmd.append(cmd[pos:ia + 1])
-            pieces_xy.append(path[1:-1])
-            pieces_cmd.append(
-                np.full(max(len(path) - 2, 0), int(cmd[(ia + ib) // 2]),
-                        cmd.dtype)
-            )
-            pos = ib
-        if pieces_xy:
-            pieces_xy.append(xy[pos:])
-            pieces_cmd.append(cmd[pos:])
-            xy = np.concatenate(pieces_xy, axis=0)
-            cmd = np.concatenate(pieces_cmd)
-
-    # -- stage 2: Dubins-smooth splice seams, scored on the hard boundary
-    dr = smooth_dense_route(
-        _dense_from_xy(xy, cmd), geometry,
-        score_ab=edges, score_floor=0.45, respice_below=-1.5,
-    )
-    xy = np.asarray(dr.xy, np.float64)
-    cmd = np.asarray(dr.cmd)
+    # planning masks: normal = deep erosion (planned paths keep real
+    # clearance even at 1 m-cell edges) within road slack; fallback =
+    # eroded union only, for spans whose legal detour (a median-gap
+    # crossing rerouted through the junction where the median ends) needs
+    # ground the road dilation doesn't cover
+    # planning-mask fallback chain: deep erosion within road slack first
+    # (planned paths keep real clearance even at 1 m-cell edges), then
+    # without the road constraint (legal detours through junction gaps),
+    # then SHALLOW erosion — for corridors so narrow that the deep-eroded
+    # mask disconnects (a 2 m hard strip vanishes at 1.0 m erosion; a
+    # 0.5 m erosion still yields the ~0.4+ clearance the layout-collision
+    # threshold needs)
+    if town:
+        chain = (
+            (hard_plan_mask(town, clearance_m=1.0), 80.0),
+            (hard_plan_mask(town, clearance_m=1.0), 200.0),
+            (hard_plan_mask(town, clearance_m=1.0, road_slack_m=1e9),
+             200.0),
+            (hard_plan_mask(town, clearance_m=0.5), 200.0),
+            (hard_plan_mask(town, clearance_m=0.5, road_slack_m=1e9),
+             200.0),
+        )
+    else:
+        chain = ()
 
     def _crop(e, p, margin=25.0):
         lo = p.min(axis=0) - margin
@@ -1442,10 +1425,37 @@ def refine_dense_route(
                & (np.minimum(e[:, 1], e[:, 3]) <= hi[1]))
         return e[sel] if sel.any() else e
 
+    # VehicleParams half extents + 0.3 m expert-tracking margin — the
+    # pose criterion mirrors sim/collisions.py::static_collision: a
+    # layout collision needs ALL FOUR corners off the hard union, so a
+    # pose is safe while its BEST corner stays inside
+    HL, HW = 2.7, 1.3
+
+    def _pose_min(p: np.ndarray) -> float:
+        if len(p) < 3:
+            return 10.0
+        d = np.gradient(p, axis=0)
+        yaw = np.arctan2(d[:, 1], d[:, 0])
+        fw = np.stack([np.cos(yaw), np.sin(yaw)], 1)
+        lt = np.stack([-np.sin(yaw), np.cos(yaw)], 1)
+        corners = np.concatenate(
+            [p + a * HL * fw + b * HW * lt
+             for a in (1, -1) for b in (1, -1)], axis=0,
+        )
+        sd_c = mask_geo.boundary_signed_distance(
+            _crop(edges, p, margin=30.0), corners
+        ).reshape(4, len(p))
+        return float(sd_c.max(axis=0).min())
+
     def violation(p: np.ndarray) -> float:
-        """How badly a span breaks the three route invariants the Town03
-        gates assert (hard clearance >= 0.39, kink < 45 deg, off-road
-        < 3 m), each with margin. Lower is better; 0 = clean."""
+        """How badly a span breaks the route invariants the town gates
+        assert (no layout-collision pose, depth bound 2 m, off-road
+        < 3 m, kink < 45 deg), each with margin. Lower is better; 0 =
+        clean. The hard term is POSE-based (best corner of the inflated
+        body), matching the sim's collision criterion — a per-point
+        clearance floor over-valued narrow-median crossings the body
+        legally bridges, which made the scorer reject real repairs in
+        favour of harmless voids."""
         sdh = mask_geo.boundary_signed_distance(_crop(edges, p), p)
         sdr = mask_geo.boundary_signed_distance(_crop(road, p), p)
         seg = np.diff(p, axis=0)
@@ -1457,22 +1467,122 @@ def refine_dense_route(
             turn = np.degrees(np.abs(
                 (np.diff(hdg) + np.pi) % (2 * np.pi) - np.pi))
             v += 0.25 * max(0.0, float(turn.max()) - 40.0)
-        v += 10.0 * max(0.0, 0.45 - float(sdh.min()))
-        v += 2.0 * max(0.0, -2.5 - float(sdr.min()))
+        v += 10.0 * max(0.0, 0.8 - _pose_min(p))
+        v += 5.0 * max(0.0, -1.5 - float(sdh.min()))
+        v += 2.0 * max(0.0, -2.0 - float(sdr.min()))
+        # past -2.6 m the off-road gate itself (-3.0) is at risk: no hard
+        # clearance gain may buy that (a splice once traded road -2.2 ->
+        # -3.6 for a 0.6 m hard win and broke the road gate)
+        v += 25.0 * max(0.0, -2.6 - float(sdr.min()))
         return v
 
-    # -- stage 3: coherent elastic band for residual shallow grazes
-    sd = mask_geo.boundary_signed_distance(edges, xy)
-    out = xy.copy()
-    for ia, ib in _hard_regions(sd, clearance, len(xy), pad):
-        orig = out[ia:ib + 1]
-        ref = mask_geo.refine_polyline_inside(
-            edges, orig, clearance=clearance,
-            contain_edges=road, contain_slack=2.0,
+    def _splice_deep(xy, cmd, sd):
+        """Splice each excursion region independently, BACK TO FRONT so
+        earlier indices stay valid. Each candidate window is locally
+        Dubins-smoothed BEFORE scoring (a raw splice meets the route at a
+        seam kink that is always repairable — pricing it into acceptance
+        rejected clean repairs), then accepted only when the window's
+        violation improves, so one unplannable region cannot poison the
+        others."""
+        n = len(xy)
+        regions = []
+        for ia, ib in _hard_regions(sd, clearance, n, pad):
+            span = xy[max(0, ia - 3):min(n, ib + 4)]
+            if (float(sd[ia:ib + 1].min()) >= -1.5
+                    and _pose_min(span) >= 0.8):
+                # body-bridgeable with comfortable margin — legal, skip.
+                # (0.8: the expert tracks sharp median-crossing turns with
+                # up to ~0.5-1 m error beyond the 0.3 m corner inflation —
+                # marginal 0.1-0.3 poses measured real collisions)
+                continue
+            while ia > 0 and sd[ia] < clearance + 0.15:
+                ia -= 1
+            while ib < n - 1 and sd[ib] < clearance + 0.15:
+                ib += 1
+            if regions and ia <= regions[-1][1]:
+                regions[-1][1] = max(regions[-1][1], ib)
+            else:
+                regions.append([ia, ib])
+        for ia, ib in reversed(regions):
+            path = None
+            for mask, margin in chain:
+                if mask is None:
+                    continue
+                path = mask_geo.plan_on_mask(
+                    mask[0], mask[1], PPM, xy[ia], xy[ib], margin_m=margin
+                )
+                if path is not None:
+                    break
+            if path is None:
+                continue
+            lo, hi = max(0, ia - 20), min(n, ib + 21)
+            before = xy[lo:hi]
+            cand = np.concatenate(
+                [xy[lo:ia + 1], path[1:-1], xy[ib:hi]], axis=0
+            )
+            dummy = np.full(len(cand), int(cmd[(ia + ib) // 2]), cmd.dtype)
+            dr = smooth_dense_route(
+                _dense_from_xy(cand, dummy), geometry,
+                score_ab=edges, score_floor=0.45, respice_below=-1.5,
+            )
+            cs = np.asarray(dr.xy, np.float64)
+            if (np.linalg.norm(cs[0] - cand[0]) > 1e-6
+                    or np.linalg.norm(cs[-1] - cand[-1]) > 1e-6):
+                cs = cand            # smoothing moved the window ends
+            if violation(cs) <= violation(before):
+                xy = np.concatenate([xy[:lo], cs, xy[hi:]], axis=0)
+                cmd = np.concatenate([
+                    cmd[:lo],
+                    np.full(len(cs), int(cmd[(ia + ib) // 2]), cmd.dtype),
+                    cmd[hi:],
+                ])
+                n = len(xy)
+        return xy, cmd
+
+    # outer fixed point, whole-route gated as a final safety net; all
+    # stage-level decisions are already locally gated on the same
+    # pose-based violation score the town gates assert
+    best = (xy.copy(), cmd.copy())
+    best_viol = violation(xy)
+    for p in range(3):
+        if best_viol == 0.0:
+            break
+        # -- stage 1: splice collision-risk excursions on eroded masks
+        xy, cmd = _splice_deep(xy, cmd, sd)
+
+        # -- stage 2: Dubins-smooth seams, scored on the hard boundary
+        # (whole-route gated: its re-splices are not individually gated
+        # and once traded road -2.2 -> -3.6 for a hard win)
+        dr = smooth_dense_route(
+            _dense_from_xy(xy, cmd), geometry,
+            score_ab=edges, score_floor=0.45, respice_below=-1.5,
         )
-        if violation(ref) <= violation(orig):
-            out[ia:ib + 1] = ref
-    return _dense_from_xy(out, cmd)
+        sm_xy = np.asarray(dr.xy, np.float64)
+        sm_cmd = np.asarray(dr.cmd)
+        if violation(sm_xy) <= violation(xy):
+            xy, cmd = sm_xy, sm_cmd
+
+        # -- stage 3: coherent elastic band for residual shallow grazes
+        sd = mask_geo.boundary_signed_distance(edges, xy)
+        out = xy.copy()
+        for ia, ib in _hard_regions(sd, clearance, len(xy), pad):
+            orig = out[ia:ib + 1]
+            ref = mask_geo.refine_polyline_inside(
+                edges, orig, clearance=clearance,
+                contain_edges=road, contain_slack=2.0,
+            )
+            if violation(ref) <= violation(orig):
+                out[ia:ib + 1] = ref
+        xy = out
+        cur_viol = violation(xy)
+        if cur_viol < best_viol:
+            best = (xy.copy(), cmd.copy())
+            best_viol = cur_viol
+        else:
+            xy, cmd = best[0].copy(), best[1].copy()
+            break            # passes are deterministic — no progress
+        sd = mask_geo.boundary_signed_distance(edges, xy)
+    return _dense_from_xy(*best)
 
 
 # ---------------------------------------------------------------------------
