@@ -1530,12 +1530,23 @@ def refine_dense_route(
                     or np.linalg.norm(cs[-1] - cand[-1]) > 1e-6):
                 cs = cand            # smoothing moved the window ends
             if violation(cs) <= violation(before):
+                # keep the untouched window ends' real commands (they can
+                # carry turn/lane options near junctions) and fill only
+                # the new mid-region points with the mid command
+                n_pre, n_suf = ia - lo + 1, hi - ib
+                n_mid = len(cs) - n_pre - n_suf
+                if n_mid >= 0:
+                    win_cmd = np.concatenate([
+                        cmd[lo:ia + 1],
+                        np.full(n_mid, int(cmd[(ia + ib) // 2]), cmd.dtype),
+                        cmd[ib:hi],
+                    ])
+                else:        # smoothing shrank past the preserved ends
+                    win_cmd = np.full(
+                        len(cs), int(cmd[(ia + ib) // 2]), cmd.dtype
+                    )
                 xy = np.concatenate([xy[:lo], cs, xy[hi:]], axis=0)
-                cmd = np.concatenate([
-                    cmd[:lo],
-                    np.full(len(cs), int(cmd[(ia + ib) // 2]), cmd.dtype),
-                    cmd[hi:],
-                ])
+                cmd = np.concatenate([cmd[:lo], win_cmd, cmd[hi:]])
                 n = len(xy)
         return xy, cmd
 

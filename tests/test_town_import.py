@@ -465,7 +465,7 @@ def test_corl2017_pack_runs_on_real_town01():
     """CoRL2017 on the reconstructed town (corl2017_env.py:28-46): the
     shipped per-shape packs plan through the completed Town01 lane
     graph; navigation_dynamic applies the reference traffic densities
-    (20 vehicles / 50 walkers, capped at 32)."""
+    (20 vehicles / 50 walkers, corl2017_env.py:47-56, uncapped)."""
     from gail_carla_tpu.envs.suites import corl2017_suite
     from gail_carla_tpu.sim.env import reset_batch, step_batch
 
@@ -480,7 +480,7 @@ def test_corl2017_pack_runs_on_real_town01():
     scene_d, cfg_d, _ = corl2017_suite(
         task_type="navigation_dynamic", town="Town01",
     )
-    assert cfg_d.n_npc_vehicles == 20 and cfg_d.n_npc_walkers == 32
+    assert cfg_d.n_npc_vehicles == 20 and cfg_d.n_npc_walkers == 50
     lens_d = np.asarray(scene_d.route_len_m)[: scene_d.n_routes]
     assert lens_d.min() > 100.0          # Navigation pairs cross town
 
