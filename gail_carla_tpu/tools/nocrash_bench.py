@@ -144,7 +144,7 @@ def main(argv=None):
     from gail_carla_tpu.utils import checkpoint as ckpt_mod
 
     tiers = [args.traffic] if args.traffic else [
-        "empty", "regular", "dense"
+        "empty", "regular", "dense", "leaderboard"
     ]
     weathers = [args.weather] if args.weather else ["train", "new"]
 
