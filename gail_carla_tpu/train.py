@@ -83,17 +83,18 @@ def make_presets():
     # episodes get the demo-generation cap (carla_exp.py:25 env_ep_length
     # 6000; the reference evaluates with NO timeout, terminal/leaderboard.py)
     # and demos the same. Training routes are restricted to the ones the
-    # compliant expert COMPLETES (docs/results/r3_town03_expert_fixed.json:
-    # routes 3/4/7/8/9/16/17 end in collisions on un-plannable off-road
-    # spans — an expert-impossible route contributes zero demos and, as
-    # eval route, aborts startup). Route 13 is held out, mirroring the
-    # town01 shape.
+    # compliant expert COMPLETES on the round-5 repaired scene
+    # (docs/results/r4_town03_expert.json, ceiling 89.66: routes 9 and 17
+    # end in static collisions on the two residual un-plannable spans;
+    # route 3 is a clean timeout-complete long route and trains fine).
+    # Route 13 is held out, mirroring the town01 shape.
     town03 = dict(
         env=EnvConfig(train=True, max_time=600.0),
         model=ModelConfig(),
         train=TrainConfig(
-            n_envs=10,
-            routes=(0, 1, 2, 5, 6, 10, 11, 12, 14, 15),
+            n_envs=16,
+            routes=(0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 12, 14, 15, 16,
+                    18, 19),
             eval_route=13,
         ),
         scene=dict(town="Town03"),
