@@ -19,7 +19,7 @@ MAXUP="${2:-300}"
 
 commit_stage() {  # commit_stage <message> <paths...>
   local msg="$1"; shift
-  git add "$@" && git commit -q -m "$msg" || true
+  git add -f "$@" && git commit -q -m "$msg" || true
 }
 
 run_stage() {  # run_stage <log> <cmd...>: retry twice with --resume

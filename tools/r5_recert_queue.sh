@@ -20,7 +20,7 @@ CK_T1=docs/results/ckpts/r3_town01_s0_best_params
 CK_T1B=docs/results/ckpts/r3_town01_s1_best_params
 CK_NC=docs/results/ckpts/r3_nocrash_s0_best_params
 
-commit_stage() { local msg="$1"; shift; git add "$@" && git commit -q -m "$msg" || true; }
+commit_stage() { local msg="$1"; shift; git add -f "$@" && git commit -q -m "$msg" || true; }
 
 # --- A: Town01 re-cert ---
 for s in 0 1; do

@@ -11,7 +11,7 @@ mkdir -p docs/results/logs docs/results/ckpts
 SEED="${1:-0}"
 MAXUP="${2:-150}"
 
-commit_stage() { local msg="$1"; shift; git add "$@" && git commit -q -m "$msg" || true; }
+commit_stage() { local msg="$1"; shift; git add -f "$@" && git commit -q -m "$msg" || true; }
 
 EXP=docs/results/r5_town04_expert.json
 if [ ! -s "$EXP" ]; then
