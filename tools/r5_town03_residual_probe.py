@@ -52,24 +52,34 @@ prev = {k: np.zeros(B) for k in
 events = {r: [] for r in routes}
 done_latch = np.zeros(B, bool)
 for t in range(6000):
+    # pose going INTO this step: the step that fires an infraction ends
+    # with an auto-reset, so post-step ego.xy is the respawn pose
+    pre_xy = np.asarray(states.ego.xy)
+    pre_yaw = np.asarray(states.ego.yaw)
     ap, action = act_j(ap, states)
     states, out = step_j(states, action)
     info = {k: np.asarray(v) for k, v in out.info.items()}
-    ego_xy = np.asarray(states.ego.xy)
+    col_xy = np.asarray(getattr(states, "col_xy", np.full((B, 2), 1e9)))
     for k in prev:
         if k not in info:
             continue
         fired = (info[k] > prev[k]) & ~done_latch
         for i in np.nonzero(fired)[0]:
-            events[routes[i]].append({
+            ev = {
                 "step": t, "kind": k,
-                "xy": [float(ego_xy[i, 0]), float(ego_xy[i, 1])],
-            })
+                "xy": [float(pre_xy[i, 0]), float(pre_xy[i, 1])],
+                "yaw_deg": round(float(np.degrees(pre_yaw[i])), 1),
+            }
+            if abs(col_xy[i, 0]) < 1e8:
+                ev["col_xy"] = [float(col_xy[i, 0]),
+                                float(col_xy[i, 1])]
+            events[routes[i]].append(ev)
         prev[k] = np.maximum(prev[k], info[k])
     done_latch |= np.asarray(out.done)
     if done_latch.all():
         break
 
+HL, HW = 2.7, 1.3           # inflated half extents, as the route gates
 for r in routes:
     for e in events[r]:
         p = np.array([e["xy"]])
@@ -77,5 +87,12 @@ for r in routes:
             float(mask_geo.boundary_signed_distance(geo.bnd_ab, p)[0]), 2)
         e["sd_hard"] = round(
             float(mask_geo.boundary_signed_distance(geo.hard_ab, p)[0]), 2)
+        yaw = np.radians(e["yaw_deg"])
+        f = np.array([np.cos(yaw), np.sin(yaw)])
+        lt = np.array([-np.sin(yaw), np.cos(yaw)])
+        corners = np.stack([p[0] + a * HL * f + b * HW * lt
+                            for a in (1, -1) for b in (1, -1)])
+        sd_c = mask_geo.boundary_signed_distance(geo.hard_ab, corners)
+        e["corner_sd_hard"] = [round(float(v), 2) for v in sd_c]
 print(json.dumps({"routes": {str(r): events[r] for r in routes}},
                  indent=1))
