@@ -57,6 +57,19 @@ commit_stage "NoCrash tables at uncapped reference densities (all four tiers)" \
   docs/results/r5_nocrash_expert_town01.json docs/results/r5_nocrash_expert_town02.json \
   docs/results/logs/r5_nocrash_*.log
 
+# --- E: Towns 04/05/06 expert ceilings ---
+declare -A PACK=( [Town04]=routes_training.xml [Town05]=routes_testing.xml \
+                  [Town06]=routes_training.xml )
+for t in Town04 Town05 Town06; do
+  out=docs/results/r5_${t,,}_expert.json
+  [ -s "$out" ] || python -m gail_carla_tpu.tools.benchmark_policy \
+    --town "$t" --route-file "${PACK[$t]}" --expert --episodes 1 \
+    --max-steps 6000 \
+    > "$out" 2> docs/results/logs/r5_${t,,}_expert.log || exit 1
+done
+commit_stage "Towns 04/05/06 expert ceilings on round-5 geometry" \
+  docs/results/r5_town04_expert.json docs/results/r5_town05_expert.json \
+  docs/results/r5_town06_expert.json docs/results/logs/r5_town0*_expert.log
 # --- D: CoRL2017 tables ---
 for t in Town01 Town02; do
   oute=docs/results/r5_corl_expert_${t,,}.json
@@ -89,17 +102,4 @@ done
 commit_stage "CoRL2017 measured tables (expert ceilings + trained policies)" \
   docs/results/r5_corl_*.json docs/results/logs/r5_corl_*.log
 
-# --- E: Towns 04/05/06 expert ceilings ---
-declare -A PACK=( [Town04]=routes_training.xml [Town05]=routes_testing.xml \
-                  [Town06]=routes_training.xml )
-for t in Town04 Town05 Town06; do
-  out=docs/results/r5_${t,,}_expert.json
-  [ -s "$out" ] || python -m gail_carla_tpu.tools.benchmark_policy \
-    --town "$t" --route-file "${PACK[$t]}" --expert --episodes 1 \
-    --max-steps 6000 \
-    > "$out" 2> docs/results/logs/r5_${t,,}_expert.log || exit 1
-done
-commit_stage "Towns 04/05/06 expert ceilings on round-5 geometry" \
-  docs/results/r5_town04_expert.json docs/results/r5_town05_expert.json \
-  docs/results/r5_town06_expert.json docs/results/logs/r5_town0*_expert.log
 echo "r5 recert queue done"
