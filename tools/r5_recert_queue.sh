@@ -22,6 +22,7 @@ CK_NC=docs/results/ckpts/r3_nocrash_s0_best_params
 
 commit_stage() { local msg="$1"; shift; git add -f "$@" && git commit -q -m "$msg" || true; }
 
+[[ "${BLOCKS:-ACBED}" == *A* ]] && {
 # --- A: Town01 re-cert ---
 for s in 0 1; do
   ck=docs/results/ckpts/r3_town01_s${s}_best_params
@@ -34,6 +35,8 @@ commit_stage "Town01 re-certification of r3 checkpoints on round-5 geometry" \
   docs/results/r5_town01_recert_s0.json docs/results/r5_town01_recert_s1.json \
   docs/results/logs/r5_town01_recert_s0.log docs/results/logs/r5_town01_recert_s1.log
 
+}
+[[ "${BLOCKS:-ACBED}" == *C* ]] && {
 # --- C first (cheap, justifies B's dense runs) ---
 out=docs/results/r5_dense_shapes.json
 [ -s "$out" ] || python tools/r5_dense_shape_bench.py \
@@ -41,6 +44,8 @@ out=docs/results/r5_dense_shapes.json
 commit_stage "Uncapped NoCrash tier shape bench (compile/steps-per-s/HBM)" \
   "$out" docs/results/logs/r5_dense_shapes.log
 
+}
+[[ "${BLOCKS:-ACBED}" == *B* ]] && {
 # --- B: NoCrash tables at reference densities ---
 for t in Town01 Town02; do
   out=docs/results/r5_nocrash_${t,,}.json
@@ -57,6 +62,8 @@ commit_stage "NoCrash tables at uncapped reference densities (all four tiers)" \
   docs/results/r5_nocrash_expert_town01.json docs/results/r5_nocrash_expert_town02.json \
   docs/results/logs/r5_nocrash_*.log
 
+}
+[[ "${BLOCKS:-ACBED}" == *E* ]] && {
 # --- E: Towns 04/05/06 expert ceilings ---
 declare -A PACK=( [Town04]=routes_training.xml [Town05]=routes_testing.xml \
                   [Town06]=routes_training.xml )
@@ -70,6 +77,8 @@ done
 commit_stage "Towns 04/05/06 expert ceilings on round-5 geometry" \
   docs/results/r5_town04_expert.json docs/results/r5_town05_expert.json \
   docs/results/r5_town06_expert.json docs/results/logs/r5_town0*_expert.log
+}
+[[ "${BLOCKS:-ACBED}" == *D* ]] && {
 # --- D: CoRL2017 tables ---
 for t in Town01 Town02; do
   oute=docs/results/r5_corl_expert_${t,,}.json
@@ -102,4 +111,5 @@ done
 commit_stage "CoRL2017 measured tables (expert ceilings + trained policies)" \
   docs/results/r5_corl_*.json docs/results/logs/r5_corl_*.log
 
+}
 echo "r5 recert queue done"
