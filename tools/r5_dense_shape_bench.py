@@ -9,8 +9,11 @@ Run on the real chip (default env):  python tools/r5_dense_shape_bench.py
 """
 import dataclasses
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
